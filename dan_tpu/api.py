@@ -1,0 +1,147 @@
+"""Public detector API — the reference's single-image demo surface
+(SURVEY.md §3.3 / BASELINE.json config 1): load a checkpoint, forward one
+image, decode + score-filter + NMS, return a detection dict.
+
+Unlike the reference (host-side numpy decode/NMS), the whole
+image -> detections path is ONE jitted function per canvas bucket: device-
+side squash-resize, normalization, VGG+LFPN+heads forward, decode, top-k,
+greedy NMS.  Only the final (<= max_detections) boxes return to host.
+
+    det = Detector.from_checkpoint("/path/to/ckpt")   # orbax or TF1 ckpt
+    out = det.detect(image_rgb_uint8)                  # (H, W, 3) any size
+    out["bboxes"], out["scores"]                       # original-pixel coords
+"""
+from __future__ import annotations
+
+import functools
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dan_tpu.box.anchors import generate_anchors_np
+from dan_tpu.config import DANConfig, default_config
+from dan_tpu.models.detector import detector_forward, init_detector_params
+from dan_tpu.ops.postprocess import postprocess_one
+from dan_tpu.ops.squash import eval_preprocess
+
+
+class Detector:
+    """Checkpoint-loadable single-shot face detector [B]."""
+
+    def __init__(self, params, config: Optional[DANConfig] = None):
+        self.config = config or default_config()
+        self.params = params
+        self._detect_fns: Dict[int, callable] = {}
+
+    # -- construction --------------------------------------------------------
+
+    @classmethod
+    def from_random(cls, key=None, config: Optional[DANConfig] = None) -> "Detector":
+        config = config or default_config()
+        key = key if key is not None else jax.random.PRNGKey(0)
+        return cls(init_detector_params(key, config.model), config)
+
+    @classmethod
+    def from_checkpoint(
+        cls, path: str, config: Optional[DANConfig] = None
+    ) -> "Detector":
+        """Load from an orbax checkpoint dir or a TF1 .ckpt prefix."""
+        config = config or default_config()
+        if _looks_like_tf_ckpt(path):
+            from dan_tpu.ckpt.tf_import import load_tf_checkpoint
+
+            params = load_tf_checkpoint(path, config.model)
+        else:
+            from dan_tpu.ckpt.orbax_io import restore_params
+
+            params = restore_params(path, config)
+        return cls(params, config)
+
+    # -- inference -----------------------------------------------------------
+
+    def _get_detect_fn(self, canvas_size: int):
+        """One compiled executable per canvas bucket (fixed shapes)."""
+        if canvas_size in self._detect_fns:
+            return self._detect_fns[canvas_size]
+        cfg = self.config
+        size = cfg.model.image_size
+        anchors = jnp.asarray(generate_anchors_np(cfg.anchors, size, size))
+
+        @jax.jit
+        def detect_fn(params, canvas_u8, src_h, src_w):
+            img = eval_preprocess(canvas_u8, src_h, src_w, size, cfg.preprocess)
+            cls_logits, loc_preds = detector_forward(
+                params, img[None], cfg.model
+            )
+            det = postprocess_one(
+                cls_logits[0],
+                loc_preds[0],
+                anchors,
+                cfg.anchors,
+                cfg.postprocess,
+                float(size),
+                float(size),
+            )
+            # Map back to original pixels (inverse of the squash resize).
+            sx = src_w / size
+            sy = src_h / size
+            scale = jnp.stack([sx, sy, sx, sy])
+            det["bboxes"] = det["bboxes"] * scale
+            return det
+
+        self._detect_fns[canvas_size] = detect_fn
+        return detect_fn
+
+    def _canvas_for(self, h: int, w: int) -> int:
+        m = max(h, w)
+        for b in self.config.tta.buckets:
+            if m <= b:
+                return b
+        return -(-m // 128) * 128  # round up to 128 for outsized inputs
+
+    def detect(
+        self, image: np.ndarray, score_threshold: Optional[float] = None
+    ) -> Dict[str, np.ndarray]:
+        """Detect faces in an (H, W, 3) uint8/float RGB image.
+
+        Returns {'bboxes': (N, 4) float32 corner boxes in input pixels,
+        'scores': (N,) float32}, N <= config.postprocess.max_detections,
+        sorted by descending score (reference detection-dict contract [B]).
+        """
+        image = np.asarray(image)
+        if image.ndim != 3 or image.shape[-1] != 3:
+            raise ValueError(f"expected (H, W, 3) RGB image, got {image.shape}")
+        if image.dtype != np.uint8:
+            image = np.clip(image, 0, 255).astype(np.uint8)
+        h, w = image.shape[:2]
+        c = self._canvas_for(h, w)
+        canvas = np.zeros((c, c, 3), np.uint8)
+        canvas[:h, :w] = image
+        fn = self._get_detect_fn(c)
+        det = fn(
+            self.params,
+            jnp.asarray(canvas),
+            jnp.float32(h),
+            jnp.float32(w),
+        )
+        valid = np.asarray(det["valid"])
+        out = {
+            "bboxes": np.asarray(det["bboxes"])[valid],
+            "scores": np.asarray(det["scores"])[valid],
+        }
+        if score_threshold is not None:
+            keep = out["scores"] >= score_threshold
+            out = {k: v[keep] for k, v in out.items()}
+        return out
+
+
+def _looks_like_tf_ckpt(path: str) -> bool:
+    import os
+
+    return (
+        os.path.exists(path + ".index")
+        or path.endswith(".ckpt")
+        or ".ckpt-" in os.path.basename(path)
+    )

@@ -1,0 +1,15 @@
+from dan_tpu.ckpt.orbax_io import (
+    latest_step,
+    restore_params,
+    restore_train_state,
+    save_params,
+    save_train_state,
+)
+
+__all__ = [
+    "latest_step",
+    "restore_params",
+    "restore_train_state",
+    "save_params",
+    "save_train_state",
+]

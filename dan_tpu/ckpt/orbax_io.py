@@ -1,0 +1,63 @@
+"""Native checkpointing via Orbax (SURVEY.md §5 'Checkpoint / resume').
+
+The reference uses tf.train.Saver V2 ckpts via estimator hooks; here Orbax
+provides async-capable save/restore of the param/opt-state pytrees, plus
+resume-from-latest (`tf.estimator`'s auto-resume contract).
+"""
+from __future__ import annotations
+
+import os
+from typing import Any, Optional
+
+import jax
+import numpy as np
+import orbax.checkpoint as ocp
+
+from dan_tpu.config import DANConfig
+
+
+def _checkpointer() -> ocp.Checkpointer:
+    return ocp.StandardCheckpointer()
+
+
+def save_params(path: str, params: Any) -> None:
+    """Save a parameter pytree to `path` (an empty/new directory)."""
+    with _checkpointer() as ckptr:
+        ckptr.save(os.path.abspath(os.path.join(path, "params")), params)
+
+
+def restore_params(path: str, config: Optional[DANConfig] = None) -> Any:
+    """Restore a parameter pytree saved by save_params."""
+    with _checkpointer() as ckptr:
+        return ckptr.restore(os.path.abspath(os.path.join(path, "params")))
+
+
+def save_train_state(root: str, step: int, state: Any) -> str:
+    """Save a full TrainState under root/step_<N>; returns the path."""
+    path = os.path.abspath(os.path.join(root, f"step_{step:08d}"))
+    with _checkpointer() as ckptr:
+        ckptr.save(path, jax.tree_util.tree_map(np.asarray, state))
+    return path
+
+
+def latest_step(root: str) -> Optional[int]:
+    if not os.path.isdir(root):
+        return None
+    steps = [
+        int(d.split("_")[1])
+        for d in os.listdir(root)
+        if d.startswith("step_") and not d.endswith(".tmp")
+    ]
+    return max(steps) if steps else None
+
+
+def restore_train_state(root: str, abstract_state: Any, step: Optional[int] = None):
+    """Restore the latest (or a specific) TrainState; `abstract_state` is a
+    matching pytree of arrays/ShapeDtypeStructs giving structure."""
+    if step is None:
+        step = latest_step(root)
+        if step is None:
+            raise FileNotFoundError(f"no checkpoints under {root}")
+    path = os.path.abspath(os.path.join(root, f"step_{step:08d}"))
+    with _checkpointer() as ckptr:
+        return ckptr.restore(path, abstract_state)

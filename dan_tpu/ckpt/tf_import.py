@@ -1,0 +1,195 @@
+"""TF1 checkpoint importer — the parity bridge to the reference's pretrained
+weights (SURVEY.md §3.4; BASELINE.json: "same checkpoint-loadable detector").
+
+Reads a TF V2 checkpoint (TF 2.x's `tf.train.load_checkpoint` reads TF1
+ckpts) and maps TF-slim-style variable names onto the dan_tpu param pytree.
+TF conv kernels are HWIO — identical to ours — so the map is pure renaming,
+no transposes.
+
+Because the reference mount was empty (SURVEY.md §0), the exact variable
+names are [?]; the importer is therefore driven by a NAME_RULES table of
+regex rewrites covering the TF-slim conventions the author's repos use
+('vgg_16/conv1/conv1_1/weights', 'conv3_3_norm/gamma', ...), and logs any
+checkpoint variable it could not place so a new rule is a one-line fix.
+
+TF is imported lazily: nothing else in dan_tpu depends on it.
+"""
+from __future__ import annotations
+
+import re
+from typing import Dict, List, Optional, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from dan_tpu.config import ModelConfig
+
+# (regex on the TF variable name) -> (params section, layer key, leaf key).
+# Applied in order; first match wins.  {m} groups substitute into targets.
+NAME_RULES: List[Tuple[str, Tuple[str, str, str]]] = [
+    # vgg_16/conv3/conv3_3/weights -> backbone.conv3_3.kernel
+    (
+        r"(?:vgg_16/)?conv\d+/(conv\d+_\d+)/(weights|biases)$",
+        ("backbone", r"\1", None),
+    ),
+    # flat variant: vgg_16/conv3_3/weights
+    (r"(?:vgg_16/)?(conv[1-5]_\d+)/(weights|biases)$", ("backbone", r"\1", None)),
+    # fc6/fc7 as convs
+    (r"(?:vgg_16/)?(fc[67])/(weights|biases)$", ("backbone", r"\1", None)),
+    # extra SSD layers: conv6_1, conv6_2, conv7_1, conv7_2 (any scope)
+    (r"(conv[67]_[12])/(weights|biases)$", ("backbone", r"\1", None)),
+    # L2Norm scales: conv3_3_norm/gamma | .../scale
+    (r"(conv\d+_\d+)_(?:l2_)?norm/(?:gamma|scale)$", ("l2norm", r"\1", "scale")),
+    # multibox heads: conv3_3_norm_mbox_conf/weights, fc7_mbox_loc/biases, ...
+    (
+        r"(conv\d+_\d+|fc7)(?:_norm)?_mbox_conf/(weights|biases)$",
+        ("heads", r"cls_\1", None),
+    ),
+    (
+        r"(conv\d+_\d+|fc7)(?:_norm)?_mbox_loc/(weights|biases)$",
+        ("heads", r"loc_\1", None),
+    ),
+    # LFPN blocks (names [?] — placeholder patterns)
+    (r"lfpn.*?td.*?(conv\d+_\d+)/(weights|biases)$", ("lfpn", r"lfpn_td_\1", None)),
+    (r"lfpn.*?lat.*?(conv\d+_\d+)/(weights|biases)$", ("lfpn", r"lfpn_lat_\1", None)),
+]
+
+_LEAF = {"weights": "kernel", "biases": "bias"}
+
+
+def _strip_name(name: str) -> str:
+    """Drop optimizer slots and surrounding scopes that don't carry identity."""
+    name = name.split(":")[0]
+    for suffix in ("/Momentum", "/ExponentialMovingAverage", "/Adam", "/Adam_1"):
+        if name.endswith(suffix):
+            return ""  # optimizer slot — skip
+    return name
+
+
+def map_tf_name(name: str) -> Optional[Tuple[str, str, str]]:
+    """TF var name -> (section, layer, leaf) or None if unmapped."""
+    name = _strip_name(name)
+    if not name:
+        return None
+    for pattern, (section, layer_t, leaf_t) in NAME_RULES:
+        m = re.search(pattern, name)
+        if m:
+            layer = m.expand(layer_t)
+            leaf = leaf_t if leaf_t else _LEAF[m.group(2)]
+            return section, layer, leaf
+    return None
+
+
+def load_tf_checkpoint(
+    ckpt_path: str,
+    model_config: ModelConfig,
+    strict: bool = False,
+    verbose: bool = True,
+) -> Dict:
+    """Read a TF checkpoint prefix into a dan_tpu detector param pytree.
+
+    Missing model params keep fresh random init (warm-start semantics of the
+    reference's `get_init_fn_for_scaffold` [K]); unmapped ckpt vars are
+    reported.  strict=True raises if any model param is missing.
+    """
+    import tensorflow as tf  # TF 2.21 available for ckpt reading [SURVEY §3.4]
+
+    import jax
+
+    from dan_tpu.models.detector import init_detector_params
+
+    reader = tf.train.load_checkpoint(ckpt_path)
+    shapes = reader.get_variable_to_shape_map()
+
+    params = init_detector_params(jax.random.PRNGKey(0), model_config)
+    params = jax.tree_util.tree_map(np.asarray, params)
+
+    placed, unmapped, mismatched = [], [], []
+    for var_name in sorted(shapes):
+        target = map_tf_name(var_name)
+        if target is None:
+            unmapped.append(var_name)
+            continue
+        section, layer, leaf = target
+        try:
+            dst = params[section][layer][leaf]
+        except KeyError:
+            unmapped.append(var_name)
+            continue
+        value = reader.get_tensor(var_name)
+        if tuple(value.shape) != tuple(dst.shape):
+            mismatched.append((var_name, value.shape, dst.shape))
+            continue
+        params[section][layer][leaf] = value.astype(dst.dtype)
+        placed.append(var_name)
+
+    if verbose:
+        print(
+            f"[tf_import] placed {len(placed)} vars; "
+            f"{len(unmapped)} unmapped; {len(mismatched)} shape-mismatched"
+        )
+        for v in unmapped[:20]:
+            print(f"[tf_import]   unmapped: {v}")
+        for v, got, want in mismatched[:20]:
+            print(f"[tf_import]   mismatch: {v} ckpt{got} != model{want}")
+    if strict and (unmapped or mismatched):
+        raise ValueError(
+            f"strict import failed: {len(unmapped)} unmapped, "
+            f"{len(mismatched)} mismatched"
+        )
+    return jax.tree_util.tree_map(jnp.asarray, params)
+
+
+def export_tf_checkpoint(params: Dict, ckpt_prefix: str) -> None:
+    """Write a dan_tpu param pytree as a TF checkpoint using the slim-style
+    names NAME_RULES expects — used for round-trip testing the importer
+    without the (unavailable) reference ckpt."""
+    import tensorflow as tf
+
+    tf_vars = {}
+    for layer, leaves in params["backbone"].items():
+        block = f"conv{layer[4]}" if layer.startswith("conv") and "_" in layer else layer
+        for leaf, arr in leaves.items():
+            kind = "weights" if leaf == "kernel" else "biases"
+            if layer.startswith("conv") and layer[4].isdigit() and int(layer[4]) <= 5:
+                name = f"vgg_16/{block}/{layer}/{kind}"
+            elif layer.startswith("fc"):
+                name = f"vgg_16/{layer}/{kind}"
+            else:
+                name = f"{layer}/{kind}"
+            tf_vars[name] = np.asarray(arr)
+    for layer, leaves in params["l2norm"].items():
+        tf_vars[f"{layer}_norm/gamma"] = np.asarray(leaves["scale"])
+    for layer, leaves in params["heads"].items():
+        kind_map = {"kernel": "weights", "bias": "biases"}
+        tap = layer.split("_", 1)[1]
+        head = "conf" if layer.startswith("cls_") else "loc"
+        for leaf, arr in leaves.items():
+            tf_vars[f"{tap}_mbox_{head}/{kind_map[leaf]}"] = np.asarray(arr)
+    for layer, leaves in params["lfpn"].items():
+        # lfpn_td_conv5_3 -> lfpn/td/conv5_3
+        parts = layer.split("_")
+        tap = "_".join(parts[2:])
+        for leaf, arr in leaves.items():
+            kind = "weights" if leaf == "kernel" else "biases"
+            tf_vars[f"lfpn/{parts[1]}/{tap}/{kind}"] = np.asarray(arr)
+
+    ckpt = tf.train.Checkpoint(
+        **{
+            name.replace("/", "__S__"): tf.Variable(v)
+            for name, v in tf_vars.items()
+        }
+    )
+    # tf.train.Checkpoint mangles names; write a V1-style ckpt instead via
+    # raw saver for faithful names.
+    with tf.compat.v1.Graph().as_default():
+        variables = [
+            tf.compat.v1.get_variable(
+                name, initializer=tf.constant(value)
+            )
+            for name, value in tf_vars.items()
+        ]
+        saver = tf.compat.v1.train.Saver(var_list=variables)
+        with tf.compat.v1.Session() as sess:
+            sess.run(tf.compat.v1.global_variables_initializer())
+            saver.save(sess, ckpt_prefix, write_meta_graph=False)

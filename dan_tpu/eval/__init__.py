@@ -1,0 +1,24 @@
+from dan_tpu.eval.tta import TTARunner, Variant, pick_bucket, plan_variants
+from dan_tpu.eval.widerface_ap import (
+    approx_difficulty_keep,
+    evaluate_widerface,
+    load_official_gt,
+)
+from dan_tpu.eval.writer import (
+    load_detection_dir,
+    read_wider_detections,
+    write_wider_detections,
+)
+
+__all__ = [
+    "TTARunner",
+    "Variant",
+    "approx_difficulty_keep",
+    "evaluate_widerface",
+    "load_detection_dir",
+    "load_official_gt",
+    "pick_bucket",
+    "plan_variants",
+    "read_wider_detections",
+    "write_wider_detections",
+]

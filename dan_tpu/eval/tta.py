@@ -1,0 +1,226 @@
+"""Image-pyramid + horizontal-flip TTA with on-device bbox-vote fusion
+(SURVEY.md §3.2; BASELINE.json config 4).
+
+Reference protocol [K — S3FD]:
+  * det0: forward at shrink = min(1, sqrt(max_pixels / (h*w)));
+  * flip test: forward the mirrored image, un-mirror boxes;
+  * multi-scale test at st in {0.5, 0.75, 1.25, 1.5, 1.75} (+2.0 for small
+    images), where st > 1 passes keep only small boxes and st < 1 only
+    large ones;
+  * all detections fused with bbox-vote.
+
+The reference runs each (image, scale, flip) as a separate variable-shape
+sess.run with host numpy post-processing.  TPU-native design: a fixed set
+of square resolution BUCKETS, one compiled executable per bucket, each
+(image, variant) resized on-device into its bucket (zero-padded), decode +
+NMS on device, and the final bbox-vote on device.  Variants are batched
+within a bucket, so a dataset pass shards (image, variant) work across
+chips (SURVEY.md §2: the reference's only 'long-context' analog).
+"""
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dan_tpu.box.anchors import generate_anchors_np
+from dan_tpu.box.decode import decode_boxes
+from dan_tpu.config import DANConfig
+from dan_tpu.models.detector import detector_forward
+from dan_tpu.ops.bbox_vote import bbox_vote
+from dan_tpu.ops.nms import topk_select
+from dan_tpu.ops.postprocess import _on_tpu, _run_nms
+from dan_tpu.ops.preprocess import normalize_image
+
+
+@dataclasses.dataclass(frozen=True)
+class Variant:
+    """One TTA forward pass: resize factor + optional mirror + size gate."""
+
+    scale: float
+    flip: bool
+    # Post-hoc size gating in ORIGINAL pixels [K — S3FD multi-scale rule]:
+    max_size: float = np.inf  # st > 1: keep only small boxes
+    min_size: float = 0.0  # st < 1: keep only large boxes
+
+
+def plan_variants(h: int, w: int, config: DANConfig) -> List[Variant]:
+    """The S3FD TTA schedule for an (h, w) image."""
+    tta = config.tta
+    shrink = min(1.0, math.sqrt(tta.max_pixels / float(h * w)))
+    variants = [Variant(scale=shrink, flip=False)]
+    if tta.enable_flip:
+        variants.append(Variant(scale=shrink, flip=True))
+    scales = list(tta.scales)
+    if shrink >= 0.99 and tta.extra_scale_small_images:
+        scales.append(tta.extra_scale_small_images)
+    for st in scales:
+        s = st * shrink
+        if s >= 1.0:
+            gate = Variant(
+                scale=s, flip=False, max_size=tta.small_box_max_size
+            )
+        else:
+            gate = Variant(scale=s, flip=False, min_size=tta.large_box_min_size)
+        variants.append(gate)
+    return variants
+
+
+def pick_bucket(extent: float, buckets: Sequence[int]) -> int:
+    for b in sorted(buckets):
+        if extent <= b:
+            return b
+    return max(buckets)
+
+
+class TTARunner:
+    """Compiled-per-bucket TTA executor over a fixed parameter set."""
+
+    def __init__(self, params, config: Optional[DANConfig] = None):
+        self.config = config or DANConfig()
+        self.params = params
+        self._bucket_fns: Dict[int, callable] = {}
+        self._vote_fn = None
+
+    # -- compiled stages -----------------------------------------------------
+
+    def _get_bucket_fn(self, bucket: int):
+        """(canvas, src_h, src_w, scale, flip) batch -> per-variant dets."""
+        if bucket in self._bucket_fns:
+            return self._bucket_fns[bucket]
+        cfg = self.config
+        anchors = jnp.asarray(generate_anchors_np(cfg.anchors, bucket, bucket))
+
+        def one(params, canvas_u8, src_h, src_w, scale, flip):
+            c = canvas_u8.shape[1]
+            img = canvas_u8.astype(jnp.float32)
+            img_f = img[:, ::-1, :]
+            img_in = jnp.where(flip, img_f, img)
+            x_off = jnp.where(flip, c - src_w, 0.0)
+            out_h = src_h * scale
+            out_w = src_w * scale
+            resized = jax.image.scale_and_translate(
+                img_in,
+                (bucket, bucket, 3),
+                (0, 1),
+                jnp.stack([scale, scale]),
+                jnp.stack([jnp.float32(0.0), -x_off * scale]),
+                method="bilinear",
+                antialias=False,
+            )
+            net_in = normalize_image(resized, cfg.preprocess)
+            cls_logits, loc_preds = detector_forward(
+                params, net_in[None], cfg.model
+            )
+            scores = jax.nn.softmax(cls_logits[0], axis=-1)[:, 1]
+            boxes = decode_boxes(
+                loc_preds[0], anchors, cfg.anchors.prior_scaling, out_h, out_w
+            )
+            # Score threshold + degenerate-after-clip filter (same rule as
+            # ops.postprocess — zero-area boxes would all survive NMS).
+            bw = boxes[:, 2] - boxes[:, 0]
+            bh = boxes[:, 3] - boxes[:, 1]
+            keep = (
+                (scores >= cfg.postprocess.score_threshold)
+                & (bw > 1.0)
+                & (bh > 1.0)
+            )
+            scores = jnp.where(keep, scores, 0.0)
+            boxes_k, scores_k = topk_select(
+                boxes, scores, cfg.postprocess.pre_nms_topk
+            )
+            res = _run_nms(boxes_k, scores_k, cfg.postprocess)
+            # Un-mirror, then map back to original pixels.
+            x1 = jnp.where(flip, out_w - res.boxes[:, 2], res.boxes[:, 0])
+            x2 = jnp.where(flip, out_w - res.boxes[:, 0], res.boxes[:, 2])
+            out_boxes = (
+                jnp.stack([x1, res.boxes[:, 1], x2, res.boxes[:, 3]], -1)
+                / scale
+            )
+            return out_boxes, res.scores, res.valid
+
+        fn = jax.jit(jax.vmap(one, in_axes=(None, 0, 0, 0, 0, 0)))
+        self._bucket_fns[bucket] = fn
+        return fn
+
+    def _get_vote_fn(self, n_in: int):
+        cfg = self.config
+        if self._vote_fn is None:
+            self._vote_fn = {}
+        if n_in not in self._vote_fn:
+            if cfg.postprocess.use_pallas_nms and _on_tpu():
+                from dan_tpu.ops.bbox_vote_pallas import bbox_vote_pallas
+
+                vote = lambda b, s, v: bbox_vote_pallas(  # noqa: E731
+                    b,
+                    s,
+                    v,
+                    cfg.postprocess.vote_iou_threshold,
+                    cfg.postprocess.max_detections,
+                )
+            else:
+                vote = lambda b, s, v: bbox_vote(  # noqa: E731
+                    b,
+                    s,
+                    v,
+                    cfg.postprocess.vote_iou_threshold,
+                    cfg.postprocess.max_detections,
+                )
+            self._vote_fn[n_in] = jax.jit(vote)
+        return self._vote_fn[n_in]
+
+    # -- single image ----------------------------------------------------------
+
+    def detect_tta(self, image: np.ndarray) -> Dict[str, np.ndarray]:
+        """Full TTA on one (H, W, 3) uint8 RGB image -> detection dict."""
+        image = np.asarray(image)
+        if image.dtype != np.uint8:
+            image = np.clip(image, 0, 255).astype(np.uint8)
+        h, w = image.shape[:2]
+        variants = plan_variants(h, w, self.config)
+        all_boxes, all_scores, all_valid = [], [], []
+        # Group variants by bucket for batched execution.
+        groups: Dict[Tuple[int, int], List[Variant]] = {}
+        for v in variants:
+            bucket = pick_bucket(max(h, w) * v.scale, self.config.tta.buckets)
+            canvas = pick_bucket(max(h, w), self.config.tta.buckets)
+            groups.setdefault((bucket, canvas), []).append(v)
+        for (bucket, canvas_size), vs in groups.items():
+            canvas = np.zeros((canvas_size, canvas_size, 3), np.uint8)
+            canvas[:h, :w] = image
+            fn = self._get_bucket_fn(bucket)
+            n = len(vs)
+            boxes, scores, valid = fn(
+                self.params,
+                jnp.asarray(np.broadcast_to(canvas, (n, *canvas.shape))),
+                jnp.full((n,), h, jnp.float32),
+                jnp.full((n,), w, jnp.float32),
+                jnp.asarray([v.scale for v in vs], jnp.float32),
+                jnp.asarray([v.flip for v in vs]),
+            )
+            boxes = np.asarray(boxes)
+            scores = np.asarray(scores)
+            valid = np.asarray(valid)
+            for i, v in enumerate(vs):
+                bh = boxes[i, :, 3] - boxes[i, :, 1]
+                bw = boxes[i, :, 2] - boxes[i, :, 0]
+                size = np.sqrt(np.maximum(bh * bw, 0.0))
+                gate = (size <= v.max_size) & (size >= v.min_size)
+                all_boxes.append(boxes[i])
+                all_scores.append(scores[i])
+                all_valid.append(valid[i] & gate)
+        boxes = np.concatenate(all_boxes)
+        scores = np.concatenate(all_scores)
+        valid = np.concatenate(all_valid)
+        vote = self._get_vote_fn(len(boxes))(
+            jnp.asarray(boxes), jnp.asarray(scores), jnp.asarray(valid)
+        )
+        keep = np.asarray(vote.valid)
+        return {
+            "bboxes": np.asarray(vote.boxes)[keep],
+            "scores": np.asarray(vote.scores)[keep],
+        }

@@ -1,0 +1,85 @@
+"""On-device greedy NMS with fixed output shapes.
+
+Behavior contract (SURVEY.md §2 'NMS + score filter' [B][K]): per-class
+score threshold -> top-k preselect -> greedy IoU NMS -> top max_detections.
+The reference runs this host-side via numpy/tf.py_func [B]; here it is a
+fixed-shape XLA `lax.while_loop` (Pallas variant in
+dan_tpu.ops.nms_pallas), bit-matching numpy's ordering: scores descend,
+ties broken by lower index (argmax-first semantics).
+
+All boxes corner-format, float32.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from dan_tpu.box.iou import iou_one_to_many
+
+
+class NMSResult(NamedTuple):
+    boxes: jnp.ndarray  # (max_out, 4)
+    scores: jnp.ndarray  # (max_out,)
+    indices: jnp.ndarray  # (max_out,) into the input arrays
+    valid: jnp.ndarray  # (max_out,) bool
+
+
+def greedy_nms(
+    boxes: jnp.ndarray,
+    scores: jnp.ndarray,
+    iou_threshold: float,
+    max_out: int,
+    score_threshold: float = 0.0,
+) -> NMSResult:
+    """Greedy NMS over (N, 4) boxes / (N,) scores -> fixed (max_out, ...).
+
+    Suppression rule: IoU strictly greater than `iou_threshold`
+    (matches the numpy oracle and the common Fast-R-CNN nms).
+    """
+    n = boxes.shape[0]
+    active = scores > score_threshold
+
+    def body(state):
+        i, active, out_boxes, out_scores, out_idx, out_valid = state
+        masked = jnp.where(active, scores, -jnp.inf)
+        j = jnp.argmax(masked)
+        valid = masked[j] > -jnp.inf
+        out_boxes = out_boxes.at[i].set(boxes[j])
+        out_scores = out_scores.at[i].set(jnp.where(valid, scores[j], 0.0))
+        out_idx = out_idx.at[i].set(jnp.where(valid, j, -1).astype(jnp.int32))
+        out_valid = out_valid.at[i].set(valid)
+        iou = iou_one_to_many(boxes[j], boxes)
+        # Remove the selected box and everything it suppresses.
+        suppress = (iou > iou_threshold) | (
+            jnp.arange(n) == j
+        )
+        active = active & ~suppress & valid
+        return i + 1, active, out_boxes, out_scores, out_idx, out_valid
+
+    def cond(state):
+        i, active, *_ = state
+        return (i < max_out) & jnp.any(active)
+
+    init = (
+        jnp.array(0, jnp.int32),
+        active,
+        jnp.zeros((max_out, 4), jnp.float32),
+        jnp.zeros((max_out,), jnp.float32),
+        jnp.full((max_out,), -1, jnp.int32),
+        jnp.zeros((max_out,), bool),
+    )
+    _, _, out_boxes, out_scores, out_idx, out_valid = jax.lax.while_loop(
+        cond, body, init
+    )
+    return NMSResult(out_boxes, out_scores, out_idx, out_valid)
+
+
+def topk_select(
+    boxes: jnp.ndarray, scores: jnp.ndarray, k: int
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Pre-NMS top-k by score over (N, 4)/(N,) -> (k, 4)/(k,)."""
+    k = min(k, scores.shape[0])
+    top_scores, idx = jax.lax.top_k(scores, k)
+    return boxes[idx], top_scores

@@ -1,0 +1,92 @@
+"""Detection post-processing: decode -> score filter -> top-k -> NMS,
+entirely on-device, producing the reference's detection-dict contract
+(SURVEY.md §3.3: {bboxes, scores} per image, fixed MAX_DET padding with a
+validity mask instead of dynamic shapes).
+"""
+from __future__ import annotations
+
+from typing import Dict
+
+import jax
+import jax.numpy as jnp
+
+from dan_tpu.box.decode import decode_boxes
+from dan_tpu.config import AnchorConfig, PostprocessConfig
+from dan_tpu.ops.nms import greedy_nms, topk_select
+
+
+def _on_tpu() -> bool:
+    try:
+        return jax.default_backend() in ("tpu", "axon")
+    except Exception:
+        return False
+
+
+def _run_nms(boxes, scores, post_config: PostprocessConfig):
+    """Dispatch to the Pallas kernel on TPU, XLA while_loop elsewhere
+    (identical semantics — parity-tested)."""
+    if post_config.use_pallas_nms and _on_tpu():
+        from dan_tpu.ops.nms_pallas import greedy_nms_pallas
+
+        return greedy_nms_pallas(
+            boxes,
+            scores,
+            post_config.nms_iou_threshold,
+            post_config.max_detections,
+            score_threshold=0.0,
+        )
+    return greedy_nms(
+        boxes,
+        scores,
+        post_config.nms_iou_threshold,
+        post_config.max_detections,
+        score_threshold=0.0,
+    )
+
+
+def postprocess_one(
+    cls_logits: jnp.ndarray,
+    loc_preds: jnp.ndarray,
+    anchors_center: jnp.ndarray,
+    anchor_config: AnchorConfig,
+    post_config: PostprocessConfig,
+    image_h: float,
+    image_w: float,
+) -> Dict[str, jnp.ndarray]:
+    """Single image: (A, 2) logits + (A, 4) offsets -> detection dict.
+
+    Returns {'bboxes': (MAX_DET, 4), 'scores': (MAX_DET,), 'valid':
+    (MAX_DET,)} — corner boxes in input-image pixels.
+    """
+    scores = jax.nn.softmax(cls_logits, axis=-1)[:, 1]
+    boxes = decode_boxes(
+        loc_preds, anchors_center, anchor_config.prior_scaling, image_h, image_w
+    )
+    # Zero out sub-threshold scores before top-k so they never enter NMS,
+    # and drop boxes degenerate after clipping (reference `select_bboxes`
+    # semantics [K]): zero-area boxes have IoU 0 with everything and would
+    # otherwise all survive greedy NMS.
+    w = boxes[..., 2] - boxes[..., 0]
+    h = boxes[..., 3] - boxes[..., 1]
+    keep = (scores >= post_config.score_threshold) & (w > 1.0) & (h > 1.0)
+    scores = jnp.where(keep, scores, 0.0)
+    boxes_k, scores_k = topk_select(boxes, scores, post_config.pre_nms_topk)
+    res = _run_nms(boxes_k, scores_k, post_config)
+    return {"bboxes": res.boxes, "scores": res.scores, "valid": res.valid}
+
+
+def postprocess_batch(
+    cls_logits: jnp.ndarray,
+    loc_preds: jnp.ndarray,
+    anchors_center: jnp.ndarray,
+    anchor_config: AnchorConfig,
+    post_config: PostprocessConfig,
+    image_h: float,
+    image_w: float,
+) -> Dict[str, jnp.ndarray]:
+    """vmap over the batch dim of (B, A, 2)/(B, A, 4)."""
+    return jax.vmap(
+        lambda c, l: postprocess_one(
+            c, l, anchors_center, anchor_config, post_config, image_h, image_w
+        )
+    )(cls_logits, loc_preds)

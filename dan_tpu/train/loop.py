@@ -1,0 +1,123 @@
+"""The jit-compiled SPMD training step and outer loop.
+
+TPU mapping of the reference's estimator train flow (SURVEY.md §3.1): one
+compiled `train_step(state, batch) -> (state, metrics)` containing the FULL
+per-step pipeline on device —
+
+    uint8 canvas -> fused preprocess (crop/resize/distort/flip/normalize)
+    -> anchor matching/encoding -> forward (VGG+LFPN+heads)
+    -> loss (CE + HNM + smooth-L1) -> grads -> SGD update
+
+sharded over a ('data',) mesh: batch split across chips, params replicated,
+gradient all-reduce inserted by XLA over ICI.  No per-step Python graph
+work, no host math (host only supplies padded uint8 canvases + scalar crop
+params + gt boxes).
+"""
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from dan_tpu.box.anchors import generate_anchors_np
+from dan_tpu.box.matching import match_anchors_batch
+from dan_tpu.config import DANConfig
+from dan_tpu.models.detector import detector_forward, init_detector_params
+from dan_tpu.ops.preprocess import CropParams, train_preprocess_one
+from dan_tpu.parallel.mesh import batch_sharding, make_mesh, replicated
+from dan_tpu.train.loss import detection_loss
+from dan_tpu.train.optim import make_optimizer
+
+
+class TrainState(NamedTuple):
+    params: Any
+    opt_state: Any
+    step: jnp.ndarray  # () int32
+
+
+def create_train_state(config: DANConfig, key: jax.Array) -> TrainState:
+    params = init_detector_params(key, config.model)
+    tx = make_optimizer(config.train)
+    return TrainState(
+        params=params,
+        opt_state=tx.init(params),
+        step=jnp.zeros((), jnp.int32),
+    )
+
+
+def preprocess_and_match(batch: Dict[str, jnp.ndarray], config: DANConfig):
+    """Device-side input stage: fused preprocess + anchor match/encode."""
+    size = config.preprocess.train_image_size
+    anchors = jnp.asarray(generate_anchors_np(config.anchors, size, size))
+
+    def per_image(canvas, x0, y0, csize, boxes, mask, seed):
+        key = jax.random.PRNGKey(seed)
+        crop = CropParams(x0, y0, csize)
+        return train_preprocess_one(
+            canvas, crop, boxes, mask, key, config.preprocess
+        )
+
+    images, boxes, mask = jax.vmap(per_image)(
+        batch["canvas"],
+        batch["crop_x0"],
+        batch["crop_y0"],
+        batch["crop_size"],
+        batch["boxes"],
+        batch["mask"],
+        batch["seed"],
+    )
+    targets = match_anchors_batch(
+        anchors, boxes, mask, config.match, config.anchors
+    )
+    return images, targets
+
+
+def make_train_step(config: DANConfig):
+    """Build the pure (state, batch) -> (state, metrics) step function."""
+    tx = make_optimizer(config.train)
+
+    def loss_fn(params, images, targets):
+        cls_logits, loc_preds = detector_forward(params, images, config.model)
+        return detection_loss(
+            cls_logits,
+            loc_preds,
+            targets.cls_target,
+            targets.loc_target,
+            config.train,
+        )
+
+    def train_step(state: TrainState, batch) -> Tuple[TrainState, Dict]:
+        images, targets = preprocess_and_match(batch, config)
+        (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, images, targets
+        )
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        metrics["grad_norm"] = optax.global_norm(grads)
+        return (
+            TrainState(params=params, opt_state=opt_state, step=state.step + 1),
+            metrics,
+        )
+
+    return train_step
+
+
+def make_sharded_train_step(config: DANConfig, mesh):
+    """jit the step with DP shardings: batch on ('data',), state replicated.
+
+    XLA turns the replicated-param constraint into a gradient all-reduce
+    over ICI — the TPU-native equivalent of the reference's (absent)
+    multi-GPU tower sum (SURVEY.md §2).
+    """
+    step_fn = make_train_step(config)
+    rep = replicated(mesh)
+    bsh = batch_sharding(mesh, config.mesh)
+    return jax.jit(
+        step_fn,
+        in_shardings=(rep, bsh),
+        out_shardings=(rep, rep),
+        donate_argnums=(0,),
+    )

@@ -1,0 +1,93 @@
+"""Detection loss: softmax cross-entropy + hard-negative mining + smooth-L1.
+
+Behavior contract (SURVEY.md §2 'Loss + hard-negative mining' [B][K]):
+  * per-anchor 2-class softmax CE (face vs background);
+  * HNM: rank negative anchors by their CE loss, keep `hnm_ratio` x #positives
+    hardest negatives per image [B: HNM exists; K: 3:1 ratio];
+  * smooth-L1 on positive anchors' encoded offsets;
+  * total = cls + alpha * loc, normalized by the positive count.
+
+TPU-native formulation: dynamic per-image negative counts are handled with
+the masked rank-threshold trick (double argsort -> exact top-k with
+deterministic index tie-breaks), so the whole loss is fixed-shape
+(SURVEY.md §7 'HNM with dynamic positive counts').
+"""
+from __future__ import annotations
+
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from dan_tpu.config import TrainConfig
+
+
+def smooth_l1(x: jnp.ndarray) -> jnp.ndarray:
+    """Elementwise smooth-L1 (Huber delta=1) [K — `modified_smooth_l1`]."""
+    ax = jnp.abs(x)
+    return jnp.where(ax < 1.0, 0.5 * x * x, ax - 0.5)
+
+
+def _rank_desc(values: jnp.ndarray) -> jnp.ndarray:
+    """Rank of each element when sorted descending (0 = largest).
+
+    Ties broken by lower index first (stable argsort of -values).
+    """
+    order = jnp.argsort(-values, stable=True)
+    ranks = jnp.zeros_like(order).at[order].set(jnp.arange(values.shape[0]))
+    return ranks
+
+
+def detection_loss(
+    cls_logits: jnp.ndarray,
+    loc_preds: jnp.ndarray,
+    cls_targets: jnp.ndarray,
+    loc_targets: jnp.ndarray,
+    config: TrainConfig,
+) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
+    """Batched loss.
+
+    Args:
+      cls_logits: (B, A, 2) f32.
+      loc_preds: (B, A, 4) f32.
+      cls_targets: (B, A) int32 in {-1 ignore, 0 bg, 1 face}.
+      loc_targets: (B, A, 4) f32.
+    Returns (scalar total loss, metrics dict).
+    """
+    positive = cls_targets == 1  # (B, A)
+    negative = cls_targets == 0
+    labels = jnp.maximum(cls_targets, 0)  # ignore -> bg label (masked out below)
+
+    log_probs = jax.nn.log_softmax(cls_logits, axis=-1)  # (B, A, 2)
+    ce = -jnp.take_along_axis(log_probs, labels[..., None], axis=-1)[..., 0]
+
+    # --- hard-negative mining (per image, fixed shape) ---
+    num_pos = jnp.sum(positive, axis=1)  # (B,)
+    num_neg_keep = jnp.minimum(
+        jnp.maximum(
+            (config.hnm_ratio * num_pos).astype(jnp.int32),
+            config.hnm_min_negatives,
+        ),
+        jnp.sum(negative, axis=1).astype(jnp.int32),
+    )  # (B,)
+    neg_ce = jnp.where(negative, ce, -jnp.inf)  # (B, A)
+    ranks = jax.vmap(_rank_desc)(neg_ce)  # (B, A)
+    neg_selected = negative & (ranks < num_neg_keep[:, None])
+
+    total_pos = jnp.maximum(jnp.sum(num_pos).astype(jnp.float32), 1.0)
+    cls_loss = (
+        jnp.sum(jnp.where(positive | neg_selected, ce, 0.0)) / total_pos
+    )
+
+    loc_l1 = jnp.sum(smooth_l1(loc_preds - loc_targets), axis=-1)  # (B, A)
+    loc_loss = jnp.sum(jnp.where(positive, loc_l1, 0.0)) / total_pos
+
+    total = cls_loss + config.loc_loss_weight * loc_loss
+    metrics = {
+        "loss": total,
+        "cls_loss": cls_loss,
+        "loc_loss": loc_loss,
+        "num_pos": jnp.sum(num_pos).astype(jnp.float32),
+        "num_neg_selected": jnp.sum(neg_selected).astype(jnp.float32),
+    }
+    return total, metrics

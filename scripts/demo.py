@@ -1,0 +1,57 @@
+#!/usr/bin/env python
+"""Single-image detection demo (reference `simple_dan_demo.py` equivalent;
+BASELINE.json config 1: load ckpt, one forward + NMS decode, detection dict).
+
+    python scripts/demo.py --image face.jpg [--ckpt /path] [--out out.jpg]
+"""
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def main():
+    from dan_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--image", required=True)
+    ap.add_argument("--ckpt", default=None, help="orbax dir or TF ckpt prefix")
+    ap.add_argument("--out", default=None, help="write annotated image here")
+    ap.add_argument("--score_threshold", type=float, default=0.5)
+    ap.add_argument("--tta", action="store_true", help="full pyramid+flip TTA")
+    args = ap.parse_args()
+
+    from dan_tpu.api import Detector
+    from dan_tpu.data.widerface import load_image_rgb
+
+    if args.ckpt:
+        det = Detector.from_checkpoint(args.ckpt)
+    else:
+        print("WARNING: no --ckpt, using random weights", file=sys.stderr)
+        det = Detector.from_random()
+
+    img = load_image_rgb(args.image)
+    if args.tta:
+        from dan_tpu.eval.tta import TTARunner
+
+        out = TTARunner(det.params, det.config).detect_tta(img)
+        keep = out["scores"] >= args.score_threshold
+        out = {k: v[keep] for k, v in out.items()}
+    else:
+        out = det.detect(img, score_threshold=args.score_threshold)
+
+    print(f"{len(out['scores'])} detections")
+    for box, s in zip(out["bboxes"], out["scores"]):
+        print(f"  [{box[0]:7.1f} {box[1]:7.1f} {box[2]:7.1f} {box[3]:7.1f}] {s:.3f}")
+
+    if args.out:
+        from dan_tpu.utils.viz import draw_detections
+
+        draw_detections(img, out["bboxes"], out["scores"], args.out)
+        print(f"wrote {args.out}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,102 @@
+#!/usr/bin/env python
+"""WIDER FACE evaluation (reference `eval_dan.py`/`widerface_eval.py`
+equivalent; BASELINE.json configs 4-5): full-val TTA inference + detection
+txt writing + easy/medium/hard AP.
+
+    python scripts/eval.py --wider_root /data/widerface --ckpt /path \
+        --output_dir /tmp/preds [--gt_mats /data/eval_tools/ground_truth]
+    python scripts/eval.py --score_only --pred_dir /tmp/preds ...
+"""
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np
+
+
+def main():
+    from dan_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--wider_root", required=False)
+    ap.add_argument("--ckpt", default=None)
+    ap.add_argument("--output_dir", default=None)
+    ap.add_argument("--split", default="val")
+    ap.add_argument("--gt_mats", default=None, help="official eval_tools/ground_truth dir")
+    ap.add_argument("--no_tta", action="store_true", help="single-scale forward only")
+    ap.add_argument("--limit", type=int, default=None, help="eval first N images")
+    ap.add_argument("--score_only", action="store_true", help="skip inference, read --pred_dir")
+    ap.add_argument("--pred_dir", default=None)
+    args = ap.parse_args()
+
+    from dan_tpu.api import Detector
+    from dan_tpu.data.widerface import load_image_rgb, load_split
+    from dan_tpu.eval.tta import TTARunner
+    from dan_tpu.eval.widerface_ap import evaluate_widerface, load_official_gt
+    from dan_tpu.eval.writer import load_detection_dir, write_wider_detections
+
+    predictions = {}
+    records = load_split(args.wider_root, args.split, keep_invalid=True)
+    if args.limit:
+        records = records[: args.limit]
+
+    if args.score_only:
+        predictions = load_detection_dir(args.pred_dir)
+    else:
+        if args.ckpt:
+            det = Detector.from_checkpoint(args.ckpt)
+        else:
+            print("WARNING: random weights", file=sys.stderr)
+            det = Detector.from_random()
+        runner = None if args.no_tta else TTARunner(det.params, det.config)
+        t0 = time.time()
+        for i, rec in enumerate(records):
+            img = load_image_rgb(rec.path)
+            if runner is not None:
+                out = runner.detect_tta(img)
+            else:
+                out = det.detect(img)
+            stem = os.path.splitext(rec.rel_path)[0]
+            predictions[stem] = np.concatenate(
+                [out["bboxes"], out["scores"][:, None]], axis=-1
+            )
+            if args.output_dir:
+                write_wider_detections(
+                    args.output_dir, rec.rel_path, out["bboxes"], out["scores"]
+                )
+            if (i + 1) % 50 == 0:
+                ips = (i + 1) / (time.time() - t0)
+                print(f"{i + 1}/{len(records)} images ({ips:.2f} img/s)", file=sys.stderr)
+
+    # --- AP ---
+    if args.gt_mats:
+        gt_boxes, keep_lists, _ = load_official_gt(args.gt_mats)
+    else:
+        print(
+            "NOTE: no --gt_mats; using height-based difficulty approximation",
+            file=sys.stderr,
+        )
+        gt_boxes = {
+            os.path.splitext(r.rel_path)[0]: r.boxes.astype(np.float64)
+            for r in records
+        }
+        keep_lists = None
+    if args.limit:
+        gt_boxes = {
+            k: v
+            for k, v in gt_boxes.items()
+            if k in {os.path.splitext(r.rel_path)[0] for r in records}
+        }
+    aps = evaluate_widerface(predictions, gt_boxes, keep_lists)
+    print(
+        f"WIDER FACE {args.split} AP  easy={aps['easy']:.4f}  "
+        f"medium={aps['medium']:.4f}  hard={aps['hard']:.4f}"
+    )
+
+
+if __name__ == "__main__":
+    main()

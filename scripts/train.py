@@ -1,0 +1,125 @@
+#!/usr/bin/env python
+"""Train the DAN detector on WIDER FACE (reference `train_dan.py` CLI
+equivalent, SURVEY.md §3.1).
+
+    python scripts/train.py --wider_root /data/widerface --model_dir /tmp/run
+    python scripts/train.py --synthetic --steps 100 --model_dir /tmp/smoke
+
+Flags mirror the behavior-defining reference flags (batch size, LR
+boundaries, thresholds live in dan_tpu/config.py).
+"""
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import dataclasses
+
+import jax
+import numpy as np
+
+
+def main():
+    from dan_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--wider_root", default=None, help="WIDER FACE root dir")
+    ap.add_argument("--model_dir", required=True)
+    ap.add_argument("--steps", type=int, default=None)
+    ap.add_argument("--batch_size", type=int, default=None)
+    ap.add_argument("--synthetic", action="store_true", help="synthetic data smoke run")
+    ap.add_argument("--resume", action="store_true")
+    ap.add_argument("--warm_start", default=None, help="TF/orbax ckpt for backbone init")
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--lr", type=float, default=None)
+    ap.add_argument("--grad_clip", type=float, default=None)
+    ap.add_argument("--warmup_steps", type=int, default=None)
+    ap.add_argument("--trace_dir", default=None)
+    ap.add_argument("--log_every", type=int, default=None)
+    args = ap.parse_args()
+
+    from dan_tpu.config import default_config
+    from dan_tpu.ckpt.orbax_io import (
+        latest_step,
+        restore_train_state,
+        save_train_state,
+    )
+    from dan_tpu.data.pipeline import TrainPipeline
+    from dan_tpu.data.synthetic import synthetic_batch
+    from dan_tpu.data.widerface import load_split
+    from dan_tpu.parallel.mesh import make_mesh, shard_batch
+    from dan_tpu.train.loop import create_train_state, make_sharded_train_step
+    from dan_tpu.utils.logging import MetricsLogger
+    from dan_tpu.utils.profiling import ThroughputMeter, maybe_trace
+
+    cfg = default_config()
+    overrides = {}
+    if args.batch_size:
+        overrides["batch_size"] = args.batch_size
+    if args.lr is not None:
+        overrides["learning_rate"] = args.lr
+    if args.grad_clip is not None:
+        overrides["grad_clip_norm"] = args.grad_clip
+    if args.warmup_steps is not None:
+        overrides["warmup_steps"] = args.warmup_steps
+    if overrides:
+        cfg = dataclasses.replace(
+            cfg, train=dataclasses.replace(cfg.train, **overrides)
+        )
+    total_steps = args.steps or cfg.train.total_steps
+    log_every = args.log_every or cfg.train.log_every
+
+    mesh = make_mesh(cfg.mesh)
+    n_chips = len(mesh.devices.flat)
+    print(f"mesh: {n_chips} x {mesh.devices.flat[0].platform}", file=sys.stderr)
+
+    state = create_train_state(cfg, jax.random.PRNGKey(args.seed))
+    start_step = 0
+    if args.resume and latest_step(args.model_dir) is not None:
+        abstract = jax.tree_util.tree_map(np.asarray, state)
+        state = restore_train_state(args.model_dir, abstract)
+        start_step = int(state.step)
+        print(f"resumed from step {start_step}", file=sys.stderr)
+    elif args.warm_start:
+        from dan_tpu.api import Detector
+
+        det = Detector.from_checkpoint(args.warm_start, cfg)
+        state = state._replace(params=det.params)
+        print(f"warm-started from {args.warm_start}", file=sys.stderr)
+
+    step_fn = make_sharded_train_step(cfg, mesh)
+
+    if args.synthetic:
+        def batches():
+            i = 0
+            while True:
+                yield synthetic_batch(cfg, cfg.train.batch_size, seed=args.seed + i)
+                i += 1
+        batch_iter = batches()
+    else:
+        records = load_split(args.wider_root, "train")
+        print(f"loaded {len(records)} train images", file=sys.stderr)
+        batch_iter = iter(TrainPipeline(records, cfg, seed=args.seed))
+
+    logger = MetricsLogger(args.model_dir)
+    meter = ThroughputMeter(cfg.train.batch_size, n_chips)
+    with maybe_trace(args.trace_dir):
+        for step in range(start_step, total_steps):
+            batch = shard_batch(next(batch_iter), mesh)
+            state, metrics = step_fn(state, batch)
+            meter.tick()
+            if (step + 1) % log_every == 0:
+                metrics = {k: float(v) for k, v in metrics.items()}
+                metrics["images_per_sec_per_chip"] = meter.images_per_sec_per_chip
+                logger.log(step + 1, metrics)
+                meter.reset()
+            if (step + 1) % cfg.train.checkpoint_every == 0 or step + 1 == total_steps:
+                path = save_train_state(args.model_dir, step + 1, state)
+                print(f"saved {path}", file=sys.stderr)
+    logger.close()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,96 @@
+"""Detector API e2e: the config-1 surface (image in -> detection dict out),
+plus orbax checkpoint roundtrip."""
+import numpy as np
+import pytest
+
+import jax
+
+from dan_tpu.api import Detector
+from dan_tpu.config import (
+    DANConfig,
+    MatchConfig,
+    ModelConfig,
+    PostprocessConfig,
+    PreprocessConfig,
+    TTAConfig,
+)
+
+
+def tiny_config():
+    return DANConfig(
+        model=ModelConfig(image_size=64, compute_dtype="float32"),
+        preprocess=PreprocessConfig(train_image_size=64, canvas_size=128),
+        match=MatchConfig(max_gt=8),
+        postprocess=PostprocessConfig(pre_nms_topk=64, max_detections=16),
+        tta=TTAConfig(buckets=(64, 128, 256)),
+    )
+
+
+@pytest.fixture(scope="module")
+def detector():
+    return Detector.from_random(jax.random.PRNGKey(0), tiny_config())
+
+
+class TestDetectorAPI:
+    def test_detection_dict_contract(self, detector, rng):
+        img = rng.integers(0, 255, (100, 120, 3), dtype=np.uint8)
+        out = detector.detect(img)
+        assert set(out) == {"bboxes", "scores"}
+        assert out["bboxes"].ndim == 2 and out["bboxes"].shape[1] == 4
+        assert out["scores"].shape == (out["bboxes"].shape[0],)
+        assert out["bboxes"].shape[0] <= 16
+        # Scores sorted descending (NMS emission order).
+        s = out["scores"]
+        assert (s[:-1] >= s[1:]).all()
+        # Boxes within the original image bounds.
+        if len(out["bboxes"]):
+            assert out["bboxes"][:, [0, 2]].max() <= 120 + 1e-3
+            assert out["bboxes"][:, [1, 3]].max() <= 100 + 1e-3
+            assert out["bboxes"].min() >= -1e-3
+
+    def test_deterministic(self, detector, rng):
+        img = rng.integers(0, 255, (64, 64, 3), dtype=np.uint8)
+        a = detector.detect(img)
+        b = detector.detect(img)
+        np.testing.assert_array_equal(a["bboxes"], b["bboxes"])
+        np.testing.assert_array_equal(a["scores"], b["scores"])
+
+    def test_bucket_reuse_no_recompile(self, detector, rng):
+        # Different image sizes within one bucket share a compiled fn.
+        detector.detect(rng.integers(0, 255, (50, 60, 3), dtype=np.uint8))
+        n = len(detector._detect_fns)
+        detector.detect(rng.integers(0, 255, (40, 45, 3), dtype=np.uint8))
+        assert len(detector._detect_fns) == n
+
+    def test_float_input_accepted(self, detector, rng):
+        img = rng.uniform(0, 255, (64, 64, 3)).astype(np.float32)
+        out = detector.detect(img)
+        assert "bboxes" in out
+
+    def test_bad_shape_raises(self, detector):
+        with pytest.raises(ValueError):
+            detector.detect(np.zeros((64, 64), np.uint8))
+
+    def test_score_threshold_filters(self, detector, rng):
+        img = rng.integers(0, 255, (64, 64, 3), dtype=np.uint8)
+        full = detector.detect(img)
+        if len(full["scores"]) == 0:
+            pytest.skip("random net produced no detections")
+        thresh = float(np.median(full["scores"]))
+        cut = detector.detect(img, score_threshold=thresh)
+        assert (cut["scores"] >= thresh).all()
+        assert len(cut["scores"]) <= len(full["scores"])
+
+
+class TestCheckpointRoundtrip:
+    def test_orbax_save_load_same_detections(self, detector, rng, tmp_path):
+        from dan_tpu.ckpt.orbax_io import restore_params, save_params
+
+        img = rng.integers(0, 255, (64, 64, 3), dtype=np.uint8)
+        want = detector.detect(img)
+        save_params(str(tmp_path / "ckpt"), detector.params)
+        params2 = restore_params(str(tmp_path / "ckpt"))
+        det2 = Detector(params2, detector.config)
+        got = det2.detect(img)
+        np.testing.assert_array_equal(want["bboxes"], got["bboxes"])
+        np.testing.assert_array_equal(want["scores"], got["scores"])

@@ -1,0 +1,66 @@
+"""TTA runner e2e smoke: full pyramid+flip+vote path on a tiny config."""
+import numpy as np
+import pytest
+
+import jax
+
+from dan_tpu.config import (
+    DANConfig,
+    MatchConfig,
+    ModelConfig,
+    PostprocessConfig,
+    PreprocessConfig,
+    TTAConfig,
+)
+from dan_tpu.eval.tta import TTARunner
+from dan_tpu.models.detector import init_detector_params
+
+
+def tiny_config():
+    return DANConfig(
+        model=ModelConfig(image_size=64, compute_dtype="float32"),
+        preprocess=PreprocessConfig(train_image_size=64, canvas_size=128),
+        match=MatchConfig(max_gt=8),
+        postprocess=PostprocessConfig(pre_nms_topk=64, max_detections=8),
+        tta=TTAConfig(
+            buckets=(64, 128),
+            scales=(0.5, 1.5),
+            extra_scale_small_images=0.0,
+            max_pixels=1e9,  # shrink = 1 for the test image
+        ),
+    )
+
+
+@pytest.fixture(scope="module")
+def runner():
+    cfg = tiny_config()
+    params = init_detector_params(jax.random.PRNGKey(0), cfg.model)
+    return TTARunner(params, cfg)
+
+
+class TestTTA:
+    def test_detect_tta_contract(self, runner, rng):
+        img = rng.integers(0, 255, (80, 100, 3), dtype=np.uint8)
+        out = runner.detect_tta(img)
+        assert set(out) == {"bboxes", "scores"}
+        assert out["bboxes"].shape[0] == out["scores"].shape[0]
+        assert out["bboxes"].shape[0] <= 8
+        if len(out["bboxes"]):
+            # Vote-fused boxes stay within the original image frame
+            # (decode clips per-variant before unscaling).
+            assert out["bboxes"][:, [0, 2]].max() <= 100 + 2
+            assert out["bboxes"][:, [1, 3]].max() <= 80 + 2
+
+    def test_deterministic(self, runner, rng):
+        img = rng.integers(0, 255, (64, 64, 3), dtype=np.uint8)
+        a = runner.detect_tta(img)
+        b = runner.detect_tta(img)
+        np.testing.assert_array_equal(a["bboxes"], b["bboxes"])
+
+    def test_flip_symmetric_image_consistency(self, runner, rng):
+        """On a horizontally symmetric image, TTA must not error and flip
+        variants contribute (smoke only; exact symmetry needs trained net)."""
+        half = rng.integers(0, 255, (64, 32, 3), dtype=np.uint8)
+        img = np.concatenate([half, half[:, ::-1]], axis=1)
+        out = runner.detect_tta(img)
+        assert "bboxes" in out

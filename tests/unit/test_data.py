@@ -1,0 +1,167 @@
+"""Data layer tests: annotation parsing, data-anchor-sampling properties,
+pipeline batch contract."""
+import os
+
+import numpy as np
+import pytest
+
+from dan_tpu.config import DANConfig, MatchConfig, ModelConfig, PreprocessConfig
+from dan_tpu.data import (
+    ImageRecord,
+    TrainPipeline,
+    parse_bbx_gt,
+    sample_data_anchor_crop,
+    synthetic_batch,
+)
+
+GT_TEXT = """0--Parade/0_Parade_marchingband_1_849.jpg
+2
+449 330 122 149 0 0 0 0 0 0
+100 100 50 60 1 0 0 0 0 0
+0--Parade/0_Parade_Parade_0_904.jpg
+1
+361 98 263 339 0 0 0 1 0 0
+1--Handshaking/1_Handshaking_Handshaking_1_35.jpg
+0
+0 0 0 0 0 0 0 0 0 0
+2--Demonstration/2_Demonstration_Demonstration_Or_Protest_2_1.jpg
+2
+20 30 0 15 0 0 0 0 0 0
+40 50 10 12 0 0 0 0 0 0
+"""
+
+
+class TestParse:
+    def test_parse(self, tmp_path):
+        gt = tmp_path / "gt.txt"
+        gt.write_text(GT_TEXT)
+        recs = parse_bbx_gt(str(gt), "/imgs")
+        assert len(recs) == 4
+        # First image: 2 faces, both kept.
+        assert recs[0].boxes.shape == (2, 4)
+        np.testing.assert_allclose(recs[0].boxes[0], [449, 330, 571, 479])
+        assert recs[0].event == "0--Parade"
+        assert recs[0].path == "/imgs/0--Parade/0_Parade_marchingband_1_849.jpg"
+        # Second image: single invalid face dropped.
+        assert recs[1].boxes.shape == (0, 4)
+        # Zero-face image parsed (one all-zeros row consumed).
+        assert recs[2].boxes.shape == (0, 4)
+        # Degenerate w=0 box dropped, valid one kept.
+        assert recs[3].boxes.shape == (1, 4)
+
+    def test_keep_invalid(self, tmp_path):
+        gt = tmp_path / "gt.txt"
+        gt.write_text(GT_TEXT)
+        recs = parse_bbx_gt(str(gt), "/imgs", keep_invalid=True)
+        assert recs[1].boxes.shape == (1, 4)
+
+
+class TestDataAnchorSampling:
+    CFG = PreprocessConfig()
+
+    def test_face_center_inside_crop(self):
+        rng = np.random.default_rng(0)
+        boxes = np.array([[100.0, 120.0, 180.0, 210.0]], np.float32)
+        for _ in range(50):
+            x0, y0, size = sample_data_anchor_crop(rng, boxes, 600, 800, self.CFG)
+            cx, cy = 140.0, 165.0
+            assert x0 < cx < x0 + size
+            assert y0 < cy < y0 + size
+            assert size > 0
+
+    def test_target_scale_bounded(self):
+        """The resampled face scale is ~an anchor scale <= one octave above
+        the nearest anchor (PyramidBox shrink bias)."""
+        rng = np.random.default_rng(1)
+        boxes = np.array([[0.0, 0.0, 128.0, 128.0]], np.float32)  # scale 128, idx 3
+        out = self.CFG.train_image_size
+        scales = []
+        for _ in range(300):
+            _, _, size = sample_data_anchor_crop(rng, boxes, 1000, 1000, self.CFG)
+            scales.append(128.0 * out / size)  # face scale after resample
+        scales = np.asarray(scales)
+        jit_lo, jit_hi = self.CFG.das_max_scale_jitter
+        assert scales.min() >= 16.0 * jit_lo - 1e-3
+        assert scales.max() <= 256.0 * jit_hi + 1e-3
+        # Shrink bias: most targets land at or below the face's own scale.
+        assert np.mean(scales <= 128.0 * jit_hi) > 0.6
+
+    def test_no_faces_random_window(self):
+        rng = np.random.default_rng(2)
+        x0, y0, size = sample_data_anchor_crop(
+            rng, np.zeros((0, 4), np.float32), 480, 640, self.CFG
+        )
+        assert 0 < size <= 640
+
+
+def _tiny_config():
+    return DANConfig(
+        model=ModelConfig(image_size=64),
+        preprocess=PreprocessConfig(train_image_size=64, canvas_size=128),
+        match=MatchConfig(max_gt=8),
+    )
+
+
+class TestPipeline:
+    def test_batch_contract_with_real_jpegs(self, tmp_path):
+        import cv2
+
+        cfg = _tiny_config()
+        rng = np.random.default_rng(0)
+        records = []
+        for i in range(4):
+            img = rng.integers(0, 255, (100 + 10 * i, 120, 3), dtype=np.uint8)
+            p = str(tmp_path / f"img{i}.jpg")
+            cv2.imwrite(p, img[:, :, ::-1])
+            records.append(
+                ImageRecord(
+                    path=p,
+                    rel_path=f"e/img{i}.jpg",
+                    event="e",
+                    boxes=np.array([[10, 10, 60, 70]], np.float32),
+                    attrs=np.zeros((1, 6), np.float32),
+                )
+            )
+        pipe = TrainPipeline(records, cfg, batch_size=4, seed=0, num_workers=2)
+        it = iter(pipe)
+        batch = next(it)
+        pipe.stop()
+        assert batch["canvas"].shape == (4, 128, 128, 3)
+        assert batch["canvas"].dtype == np.uint8
+        assert batch["boxes"].shape == (4, 8, 4)
+        assert batch["mask"].sum() == 4  # one face per image
+        assert (batch["crop_size"] > 0).all()
+
+    def test_oversized_image_cropped_to_canvas(self, tmp_path):
+        import cv2
+
+        cfg = _tiny_config()
+        img = np.zeros((300, 400, 3), np.uint8)
+        img[200:260, 300:360] = 255  # face region bright
+        p = str(tmp_path / "big.jpg")
+        cv2.imwrite(p, img[:, :, ::-1])
+        rec = ImageRecord(
+            path=p,
+            rel_path="e/big.jpg",
+            event="e",
+            boxes=np.array([[300, 200, 360, 260]], np.float32),
+            attrs=np.zeros((1, 6), np.float32),
+        )
+        from dan_tpu.data.pipeline import _prepare_sample
+
+        s = _prepare_sample(rec, cfg, seed=3)
+        assert s["canvas"].shape == (128, 128, 3)
+        # The face survived the canvas re-window.
+        assert s["mask"].sum() == 1
+        b = s["boxes"][0]
+        assert (b[2] > b[0]) and (b[3] > b[1])
+        assert b.max() <= 128
+
+
+class TestSynthetic:
+    def test_batch_shapes(self):
+        cfg = _tiny_config()
+        b = synthetic_batch(cfg, 4, seed=0)
+        assert b["canvas"].shape == (4, 128, 128, 3)
+        assert b["seed"].dtype == np.uint32
+        assert b["mask"].any()

@@ -1,0 +1,66 @@
+"""Pallas NMS kernel parity vs the XLA while_loop version and the numpy
+oracle (interpret mode on CPU)."""
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from dan_tpu.ops.nms import greedy_nms
+from dan_tpu.ops.nms_pallas import greedy_nms_pallas
+
+from tests import oracles
+
+
+def _random_boxes(rng, n):
+    xy = rng.uniform(0, 100, (n, 2))
+    wh = rng.uniform(2, 40, (n, 2))
+    return np.concatenate([xy, xy + wh], axis=-1).astype(np.float32)
+
+
+class TestNMSPallasParity:
+    @pytest.mark.parametrize("seed,n,thresh", [(0, 50, 0.3), (1, 130, 0.5), (2, 257, 0.4)])
+    def test_vs_xla(self, seed, n, thresh):
+        rng = np.random.default_rng(seed)
+        boxes = _random_boxes(rng, n)
+        scores = rng.uniform(0.01, 1.0, n).astype(np.float32)
+        want = greedy_nms(jnp.asarray(boxes), jnp.asarray(scores), thresh, 20)
+        got = greedy_nms_pallas(
+            jnp.asarray(boxes), jnp.asarray(scores), thresh, 20, interpret=True
+        )
+        np.testing.assert_array_equal(np.asarray(got.valid), np.asarray(want.valid))
+        np.testing.assert_array_equal(
+            np.asarray(got.indices), np.asarray(want.indices)
+        )
+        np.testing.assert_allclose(
+            np.asarray(got.boxes), np.asarray(want.boxes), rtol=1e-6
+        )
+        np.testing.assert_allclose(
+            np.asarray(got.scores), np.asarray(want.scores), rtol=1e-6
+        )
+
+    def test_vs_numpy_oracle(self):
+        rng = np.random.default_rng(3)
+        boxes = _random_boxes(rng, 40)
+        scores = rng.uniform(0.01, 1.0, 40).astype(np.float32)
+        want_idx = oracles.greedy_nms(boxes, scores, 0.3, max_out=10)
+        got = greedy_nms_pallas(
+            jnp.asarray(boxes), jnp.asarray(scores), 0.3, 10, interpret=True
+        )
+        got_idx = np.asarray(got.indices)[np.asarray(got.valid)]
+        np.testing.assert_array_equal(got_idx, want_idx[: len(got_idx)])
+
+    def test_empty(self):
+        got = greedy_nms_pallas(
+            jnp.zeros((10, 4)), jnp.zeros((10,)), 0.3, 5, interpret=True
+        )
+        assert not np.asarray(got.valid).any()
+
+    def test_score_threshold(self):
+        boxes = jnp.asarray(
+            [[0, 0, 10, 10], [20, 20, 30, 30]], jnp.float32
+        )
+        scores = jnp.asarray([0.9, 0.01])
+        got = greedy_nms_pallas(
+            boxes, scores, 0.3, 5, score_threshold=0.05, interpret=True
+        )
+        assert np.asarray(got.valid).sum() == 1
