@@ -148,10 +148,24 @@ def match_anchors_batch(
     gt_mask: jnp.ndarray,
     match_config: MatchConfig,
     anchor_config: AnchorConfig,
+    use_pallas: bool | None = None,
 ) -> MatchTargets:
-    """vmap of match_anchors over a leading batch dim of gt_boxes/gt_mask."""
-    return jax.vmap(
-        lambda b, m: match_anchors(
+    """vmap of match_anchors over a leading batch dim of gt_boxes/gt_mask.
+
+    On TPU this dispatches to the Pallas kernel
+    (dan_tpu.ops.matching_pallas) — bit-identical targets, ~10x faster at
+    640x640/G=256 than the XLA path (which materializes (A, G) in HBM).
+    """
+    if use_pallas is None:
+        use_pallas = jax.default_backend() in ("tpu", "axon")
+    if use_pallas:
+        from dan_tpu.ops.matching_pallas import match_anchors_pallas
+
+        fn = lambda b, m: match_anchors_pallas(  # noqa: E731
             anchors_center, b, m, match_config, anchor_config
         )
-    )(gt_boxes, gt_mask)
+    else:
+        fn = lambda b, m: match_anchors(  # noqa: E731
+            anchors_center, b, m, match_config, anchor_config
+        )
+    return jax.vmap(fn)(gt_boxes, gt_mask)

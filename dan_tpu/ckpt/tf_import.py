@@ -118,8 +118,11 @@ def load_tf_checkpoint(
             continue
         value = reader.get_tensor(var_name)
         if tuple(value.shape) != tuple(dst.shape):
-            mismatched.append((var_name, value.shape, dst.shape))
-            continue
+            adapted = _adapt_vgg_fc(value, dst.shape, layer)
+            if adapted is None:
+                mismatched.append((var_name, value.shape, dst.shape))
+                continue
+            value = adapted
         params[section][layer][leaf] = value.astype(dst.dtype)
         placed.append(var_name)
 
@@ -138,6 +141,36 @@ def load_tf_checkpoint(
             f"{len(mismatched)} mismatched"
         )
     return jax.tree_util.tree_map(jnp.asarray, params)
+
+
+def _adapt_vgg_fc(value: np.ndarray, dst_shape, layer: str):
+    """SSD's fc->conv weight subsampling [K — SURVEY.md §2 'VGG-16
+    backbone']: when warm-starting from the VGG-16 *classifier* ckpt, fc6
+    (7x7x512x4096, possibly stored dense as (25088, 4096)) subsamples to a
+    3x3x512x1024 dilated conv (spatial taps 0/3/6, every 4th output
+    channel) and fc7 (4096x4096) to 1x1x1024x1024.  Returns None when the
+    shapes aren't the classifier-fc pattern."""
+    dst_shape = tuple(dst_shape)
+    v = value
+    if layer == "fc6":
+        if v.shape == (25088, 4096):
+            v = v.reshape(7, 7, 512, 4096)
+        if v.ndim == 4 and v.shape == (7, 7, 512, 4096) and dst_shape[:3] == (3, 3, 512):
+            taps = np.array([0, 3, 6])
+            out_idx = np.arange(0, 4096, 4096 // dst_shape[3])
+            return v[np.ix_(taps, taps, np.arange(512), out_idx)]
+        if v.shape == (4096,) and dst_shape == (1024,):  # fc6 bias
+            return v[:: 4096 // 1024]
+    if layer == "fc7":
+        if v.shape == (4096, 4096):
+            v = v.reshape(1, 1, 4096, 4096)
+        if v.ndim == 4 and v.shape == (1, 1, 4096, 4096) and dst_shape[0] == 1:
+            in_idx = np.arange(0, 4096, 4096 // dst_shape[2])
+            out_idx = np.arange(0, 4096, 4096 // dst_shape[3])
+            return v[np.ix_([0], [0], in_idx, out_idx)]
+        if v.shape == (4096,) and dst_shape == (1024,):
+            return v[:: 4096 // 1024]
+    return None
 
 
 def export_tf_checkpoint(params: Dict, ckpt_prefix: str) -> None:

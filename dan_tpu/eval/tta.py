@@ -88,10 +88,15 @@ class TTARunner:
 
     # -- compiled stages -----------------------------------------------------
 
-    def _get_bucket_fn(self, bucket: int):
-        """(canvas, src_h, src_w, scale, flip) batch -> per-variant dets."""
-        if bucket in self._bucket_fns:
-            return self._bucket_fns[bucket]
+    def _get_bucket_fn(self, bucket: int, mesh=None):
+        """(canvas, src_h, src_w, scale, flip) batch -> per-variant dets.
+
+        With a mesh, the batch dim is sharded over ('data',) so variants of
+        many images run data-parallel across chips (config 5 [B]).
+        """
+        key = (bucket, id(mesh) if mesh is not None else None)
+        if key in self._bucket_fns:
+            return self._bucket_fns[key]
         cfg = self.config
         anchors = jnp.asarray(generate_anchors_np(cfg.anchors, bucket, bucket))
 
@@ -143,8 +148,25 @@ class TTARunner:
             )
             return out_boxes, res.scores, res.valid
 
-        fn = jax.jit(jax.vmap(one, in_axes=(None, 0, 0, 0, 0, 0)))
-        self._bucket_fns[bucket] = fn
+        vmapped = jax.vmap(one, in_axes=(None, 0, 0, 0, 0, 0))
+        if mesh is not None:
+            from dan_tpu.parallel.mesh import batch_sharding, replicated
+
+            fn = jax.jit(
+                vmapped,
+                in_shardings=(
+                    replicated(mesh),
+                    batch_sharding(mesh),
+                    batch_sharding(mesh),
+                    batch_sharding(mesh),
+                    batch_sharding(mesh),
+                    batch_sharding(mesh),
+                ),
+                out_shardings=batch_sharding(mesh),
+            )
+        else:
+            fn = jax.jit(vmapped)
+        self._bucket_fns[key] = fn
         return fn
 
     def _get_vote_fn(self, n_in: int):
@@ -224,3 +246,110 @@ class TTARunner:
             "bboxes": np.asarray(vote.boxes)[keep],
             "scores": np.asarray(vote.scores)[keep],
         }
+
+    # -- dataset scale (config 5: batched data-parallel over the mesh) -------
+
+    def run_dataset(
+        self,
+        items,
+        mesh=None,
+        batch_per_device: int = 1,
+        progress_every: int = 0,
+    ) -> Dict[str, Dict[str, np.ndarray]]:
+        """Full-dataset TTA, (image, variant) units sharded across chips.
+
+        Args:
+          items: iterable of (key, image_uint8) — e.g. WIDER rel-path stems.
+          mesh: jax Mesh; None -> single default device.
+          batch_per_device: variants per chip per launch.
+        Returns {key: {'bboxes': (N, 4), 'scores': (N,)}}.
+
+        TPU mapping of the reference's serial 3226-image x ~7-sess.run eval
+        loop (SURVEY.md §3.2): units are grouped by (bucket, canvas)
+        resolution so each group runs one compiled executable, batched to
+        n_chips * batch_per_device and sharded over the ('data',) mesh.
+        """
+        n_dev = len(mesh.devices.flat) if mesh is not None else 1
+        chunk = max(n_dev * batch_per_device, 1)
+
+        # unit: (key, variant, h, w, canvas np array)
+        groups: Dict[Tuple[int, int], list] = {}
+        per_key: Dict[str, list] = {}
+        n_images = 0
+
+        def flush(group_key):
+            bucket, canvas_size = group_key
+            units = groups.pop(group_key, [])
+            if not units:
+                return
+            fn = self._get_bucket_fn(bucket, mesh)
+            for start in range(0, len(units), chunk):
+                part = units[start : start + chunk]
+                n = len(part)
+                pad = chunk - n
+                canv = np.stack([u[4] for u in part] + [part[0][4]] * pad)
+                hs = np.asarray([u[2] for u in part] + [part[0][2]] * pad, np.float32)
+                ws = np.asarray([u[3] for u in part] + [part[0][3]] * pad, np.float32)
+                scales = np.asarray(
+                    [u[1].scale for u in part] + [1.0] * pad, np.float32
+                )
+                flips = np.asarray([u[1].flip for u in part] + [False] * pad)
+                boxes, scores, valid = fn(
+                    self.params,
+                    jnp.asarray(canv),
+                    jnp.asarray(hs),
+                    jnp.asarray(ws),
+                    jnp.asarray(scales),
+                    jnp.asarray(flips),
+                )
+                boxes = np.asarray(boxes)
+                scores = np.asarray(scores)
+                valid = np.asarray(valid)
+                for i, (key, v, _, _, _) in enumerate(part):
+                    bh = boxes[i, :, 3] - boxes[i, :, 1]
+                    bw = boxes[i, :, 2] - boxes[i, :, 0]
+                    size = np.sqrt(np.maximum(bh * bw, 0.0))
+                    gate = (size <= v.max_size) & (size >= v.min_size)
+                    per_key[key].append(
+                        (boxes[i], scores[i], valid[i] & gate)
+                    )
+
+        for key, image in items:
+            image = np.asarray(image)
+            if image.dtype != np.uint8:
+                image = np.clip(image, 0, 255).astype(np.uint8)
+            h, w = image.shape[:2]
+            per_key.setdefault(key, [])
+            canvas_size = pick_bucket(max(h, w), self.config.tta.buckets)
+            canvas = np.zeros((canvas_size, canvas_size, 3), np.uint8)
+            canvas[:h, :w] = image
+            for v in plan_variants(h, w, self.config):
+                bucket = pick_bucket(max(h, w) * v.scale, self.config.tta.buckets)
+                gk = (bucket, canvas_size)
+                groups.setdefault(gk, []).append((key, v, h, w, canvas))
+                if len(groups[gk]) >= chunk:
+                    flush(gk)
+            n_images += 1
+            if progress_every and n_images % progress_every == 0:
+                import sys
+
+                print(f"[tta] {n_images} images planned", file=sys.stderr)
+
+        for gk in list(groups):
+            flush(gk)
+
+        # Per-image fusion (device bbox-vote).
+        results: Dict[str, Dict[str, np.ndarray]] = {}
+        for key, dets in per_key.items():
+            boxes = np.concatenate([d[0] for d in dets])
+            scores = np.concatenate([d[1] for d in dets])
+            valid = np.concatenate([d[2] for d in dets])
+            vote = self._get_vote_fn(len(boxes))(
+                jnp.asarray(boxes), jnp.asarray(scores), jnp.asarray(valid)
+            )
+            keep = np.asarray(vote.valid)
+            results[key] = {
+                "bboxes": np.asarray(vote.boxes)[keep],
+                "scores": np.asarray(vote.scores)[keep],
+            }
+        return results

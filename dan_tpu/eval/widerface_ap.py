@@ -63,6 +63,13 @@ def _image_eval(
         return pred_recall, proposal
     ignore = np.ones(len(gts), bool)  # True -> ignored
     ignore[keep_index] = False
+    # Native fast path (C++ equivalent of the official tool's Cython
+    # bbox_overlaps + the greedy matcher); numpy fallback below.
+    from dan_tpu import native
+
+    res = native.image_eval(dets, gts, ignore, iou_thresh)
+    if res is not None:
+        return res
     overlaps = _bbox_overlaps(dets[:, :4].astype(np.float64), gts.astype(np.float64))
     gt_matched = np.zeros(len(gts), bool)
     recall_count = 0
@@ -155,15 +162,16 @@ def evaluate_widerface(
             if len(gts) == 0 or len(dets) == 0:
                 continue
             pred_recall, proposal = _image_eval(dets, gts, keep, iou_thresh)
-            # PR info over thresholds (official `img_pr_info`).
-            for t in range(num_thresholds):
-                thresh = 1.0 - (t + 1) / num_thresholds
-                r_index = np.where(dets[:, 4] >= thresh)[0]
-                if len(r_index) == 0:
-                    continue
-                r = r_index[-1]
-                pr_curve[t, 0] += proposal[: r + 1].sum()
-                pr_curve[t, 1] += pred_recall[r]
+            # PR info over thresholds (official `img_pr_info`), vectorized:
+            # dets are score-descending, so the last det with score >=
+            # thresh_t is a searchsorted position.
+            thresh = 1.0 - (np.arange(1, num_thresholds + 1) / num_thresholds)
+            # r[t] = #dets with score >= thresh_t (scores descending).
+            r = np.searchsorted(-dets[:, 4], -thresh, side="right")
+            has = r > 0
+            cum_proposal = np.cumsum(proposal)
+            pr_curve[has, 0] += cum_proposal[r[has] - 1]
+            pr_curve[has, 1] += pred_recall[r[has] - 1]
         if count_gt == 0:
             results[setting] = 0.0
             continue

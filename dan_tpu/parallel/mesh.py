@@ -39,6 +39,17 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def place_replicated(tree, mesh: Mesh):
+    """Device-put a pytree fully replicated over the mesh.
+
+    Run this on the initial TrainState BEFORE the first jitted step call:
+    otherwise the first call compiles for unplaced args and the second for
+    mesh-replicated args — a wasted recompile of the whole train graph.
+    """
+    sharding = replicated(mesh)
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), tree)
+
+
 def shard_batch(batch, mesh: Mesh, config: MeshConfig = MeshConfig()):
     """Device-put a host batch pytree with the leading dim sharded."""
     sharding = batch_sharding(mesh, config)

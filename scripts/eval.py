@@ -52,25 +52,46 @@ def main():
         else:
             print("WARNING: random weights", file=sys.stderr)
             det = Detector.from_random()
-        runner = None if args.no_tta else TTARunner(det.params, det.config)
         t0 = time.time()
-        for i, rec in enumerate(records):
-            img = load_image_rgb(rec.path)
-            if runner is not None:
-                out = runner.detect_tta(img)
-            else:
-                out = det.detect(img)
-            stem = os.path.splitext(rec.rel_path)[0]
-            predictions[stem] = np.concatenate(
-                [out["bboxes"], out["scores"][:, None]], axis=-1
-            )
-            if args.output_dir:
-                write_wider_detections(
-                    args.output_dir, rec.rel_path, out["bboxes"], out["scores"]
+        if args.no_tta:
+            for i, rec in enumerate(records):
+                out = det.detect(load_image_rgb(rec.path))
+                stem = os.path.splitext(rec.rel_path)[0]
+                predictions[stem] = np.concatenate(
+                    [out["bboxes"], out["scores"][:, None]], axis=-1
                 )
-            if (i + 1) % 50 == 0:
-                ips = (i + 1) / (time.time() - t0)
-                print(f"{i + 1}/{len(records)} images ({ips:.2f} img/s)", file=sys.stderr)
+                if (i + 1) % 50 == 0:
+                    ips = (i + 1) / (time.time() - t0)
+                    print(
+                        f"{i + 1}/{len(records)} images ({ips:.2f} img/s)",
+                        file=sys.stderr,
+                    )
+        else:
+            # Config 5 [B]: (image, variant) units batched data-parallel
+            # over the mesh.
+            from dan_tpu.parallel.mesh import make_mesh
+
+            runner = TTARunner(det.params, det.config)
+            mesh = make_mesh(det.config.mesh)
+            items = (
+                (os.path.splitext(r.rel_path)[0], load_image_rgb(r.path))
+                for r in records
+            )
+            results = runner.run_dataset(items, mesh=mesh, progress_every=50)
+            predictions = {
+                k: np.concatenate([v["bboxes"], v["scores"][:, None]], -1)
+                for k, v in results.items()
+            }
+        if args.output_dir:
+            stem_to_rel = {
+                os.path.splitext(r.rel_path)[0]: r.rel_path for r in records
+            }
+            for stem, p in predictions.items():
+                write_wider_detections(
+                    args.output_dir, stem_to_rel[stem], p[:, :4], p[:, 4]
+                )
+        ips = len(records) / max(time.time() - t0, 1e-9)
+        print(f"inference: {ips:.2f} img/s over {len(records)}", file=sys.stderr)
 
     # --- AP ---
     if args.gt_mats:

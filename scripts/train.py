@@ -89,6 +89,9 @@ def main():
         state = state._replace(params=det.params)
         print(f"warm-started from {args.warm_start}", file=sys.stderr)
 
+    from dan_tpu.parallel.mesh import place_replicated
+
+    state = place_replicated(state, mesh)
     step_fn = make_sharded_train_step(cfg, mesh)
 
     if args.synthetic:

@@ -1,0 +1,62 @@
+"""Failure recovery (SURVEY.md §5): checkpoint mid-run, 'crash', restore
+from latest, continue — resumed run must be bit-identical to an
+uninterrupted one (momentum state included).  Plus compile-stability."""
+import numpy as np
+import pytest
+
+import jax
+
+from dan_tpu.ckpt.orbax_io import latest_step, restore_train_state, save_train_state
+from dan_tpu.data.synthetic import synthetic_batch
+from dan_tpu.parallel.mesh import make_mesh, place_replicated, shard_batch
+from dan_tpu.train import create_train_state, make_sharded_train_step
+
+from tests.e2e.test_train_step import tiny_config
+
+
+class TestResume:
+    def test_kill_and_resume_bit_identical(self, tmp_path):
+        cfg = tiny_config()
+        mesh = make_mesh()
+        step_fn = make_sharded_train_step(cfg, mesh)
+        batches = [synthetic_batch(cfg, 8, seed=i) for i in range(4)]
+
+        # Uninterrupted run.
+        state = create_train_state(cfg, jax.random.PRNGKey(0))
+        for b in batches:
+            state, _ = step_fn(state, shard_batch(b, mesh))
+        want = np.asarray(state.params["backbone"]["conv1_1"]["kernel"])
+        want_step = int(state.step)
+
+        # Interrupted run: 2 steps, save, 'crash' (drop everything),
+        # restore latest, finish.
+        state2 = create_train_state(cfg, jax.random.PRNGKey(0))
+        for b in batches[:2]:
+            state2, _ = step_fn(state2, shard_batch(b, mesh))
+        save_train_state(str(tmp_path), int(state2.step), state2)
+        del state2
+
+        assert latest_step(str(tmp_path)) == 2
+        abstract = jax.tree_util.tree_map(
+            np.asarray, create_train_state(cfg, jax.random.PRNGKey(0))
+        )
+        restored = restore_train_state(str(tmp_path), abstract)
+        assert int(restored.step) == 2
+        state3 = jax.tree_util.tree_map(jax.numpy.asarray, restored)
+        for b in batches[2:]:
+            state3, _ = step_fn(state3, shard_batch(b, mesh))
+
+        assert int(state3.step) == want_step
+        got = np.asarray(state3.params["backbone"]["conv1_1"]["kernel"])
+        np.testing.assert_array_equal(got, want)
+
+    def test_no_recompilation_across_steps(self):
+        """The train step must compile exactly once for fixed shapes
+        (SURVEY.md §4 item 3)."""
+        cfg = tiny_config()
+        mesh = make_mesh()
+        step_fn = make_sharded_train_step(cfg, mesh)
+        state = place_replicated(create_train_state(cfg, jax.random.PRNGKey(0)), mesh)
+        for i in range(3):
+            state, _ = step_fn(state, shard_batch(synthetic_batch(cfg, 8, seed=i), mesh))
+        assert step_fn._cache_size() == 1

@@ -57,6 +57,26 @@ class TestTTA:
         b = runner.detect_tta(img)
         np.testing.assert_array_equal(a["bboxes"], b["bboxes"])
 
+    def test_run_dataset_matches_per_image(self, runner, rng):
+        """Sharded dataset runner == serial per-image TTA (config 5)."""
+        from dan_tpu.parallel.mesh import make_mesh
+
+        images = {
+            f"e/img{i}": rng.integers(0, 255, (60 + 8 * i, 80, 3), dtype=np.uint8)
+            for i in range(3)
+        }
+        mesh = make_mesh()
+        got = runner.run_dataset(list(images.items()), mesh=mesh)
+        assert set(got) == set(images)
+        for k, img in images.items():
+            want = runner.detect_tta(img)
+            np.testing.assert_allclose(
+                got[k]["bboxes"], want["bboxes"], rtol=1e-5, atol=1e-4
+            )
+            np.testing.assert_allclose(
+                got[k]["scores"], want["scores"], rtol=1e-6
+            )
+
     def test_flip_symmetric_image_consistency(self, runner, rng):
         """On a horizontally symmetric image, TTA must not error and flip
         variants contribute (smoke only; exact symmetry needs trained net)."""

@@ -67,6 +67,31 @@ class TestRoundtrip:
                         got, np.asarray(want), err_msg=f"{section}/{layer}/{leaf}"
                     )
 
+    def test_classifier_fc_subsampling(self):
+        from dan_tpu.ckpt.tf_import import _adapt_vgg_fc
+
+        rng = np.random.default_rng(0)
+        fc6 = rng.normal(size=(25088, 4096)).astype(np.float32)
+        out = _adapt_vgg_fc(fc6, (3, 3, 512, 1024), "fc6")
+        assert out.shape == (3, 3, 512, 1024)
+        # Spot-check the subsample mapping: out[0,0,c,o] = fc6_resh[0,0,c,4o].
+        resh = fc6.reshape(7, 7, 512, 4096)
+        np.testing.assert_array_equal(out[0, 0, 5], resh[0, 0, 5, ::4])
+        np.testing.assert_array_equal(out[1, 2], resh[3, 6, :, ::4])
+
+        fc7 = rng.normal(size=(4096, 4096)).astype(np.float32)
+        out7 = _adapt_vgg_fc(fc7, (1, 1, 1024, 1024), "fc7")
+        assert out7.shape == (1, 1, 1024, 1024)
+        np.testing.assert_array_equal(
+            out7[0, 0], fc7.reshape(1, 1, 4096, 4096)[0, 0, ::4, ::4]
+        )
+        bias = rng.normal(size=(4096,)).astype(np.float32)
+        np.testing.assert_array_equal(
+            _adapt_vgg_fc(bias, (1024,), "fc6"), bias[::4]
+        )
+        # Non-classifier shapes pass through as unmapped.
+        assert _adapt_vgg_fc(np.zeros((3, 3, 8, 8)), (3, 3, 4, 4), "conv1_1") is None
+
     def test_strict_flags_unmapped(self, tmp_path):
         cfg = ModelConfig(image_size=64)
         params = init_detector_params(jax.random.PRNGKey(0), cfg)

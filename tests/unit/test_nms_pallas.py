@@ -5,7 +5,8 @@ import pytest
 
 import jax.numpy as jnp
 
-from dan_tpu.ops.nms import greedy_nms
+from dan_tpu.ops.nms import greedy_nms, topk_select
+from dan_tpu.ops.nms_blocked_pallas import greedy_nms_blocked
 from dan_tpu.ops.nms_pallas import greedy_nms_pallas
 
 from tests import oracles
@@ -64,3 +65,31 @@ class TestNMSPallasParity:
             boxes, scores, 0.3, 5, score_threshold=0.05, interpret=True
         )
         assert np.asarray(got.valid).sum() == 1
+
+
+class TestBlockedNMSParity:
+    """The blocked kernel requires score-sorted input (topk_select)."""
+
+    @pytest.mark.parametrize(
+        "seed,n,thresh", [(0, 50, 0.3), (1, 130, 0.5), (2, 300, 0.4), (5, 1000, 0.3)]
+    )
+    def test_vs_xla(self, seed, n, thresh):
+        rng = np.random.default_rng(seed)
+        boxes = _random_boxes(rng, n)
+        scores = rng.uniform(0.01, 1.0, n).astype(np.float32)
+        bs, ss = topk_select(jnp.asarray(boxes), jnp.asarray(scores), n)
+        want = greedy_nms(bs, ss, thresh, 40)
+        got = greedy_nms_blocked(bs, ss, thresh, 40, interpret=True)
+        np.testing.assert_array_equal(
+            np.asarray(got.indices), np.asarray(want.indices)
+        )
+        np.testing.assert_allclose(
+            np.asarray(got.boxes), np.asarray(want.boxes), rtol=1e-6
+        )
+
+    def test_empty(self):
+        got = greedy_nms_blocked(
+            jnp.zeros((10, 4)), jnp.zeros((10,)), 0.3, 5,
+            score_threshold=0.0, interpret=True,
+        )
+        assert not np.asarray(got.valid).any()
