@@ -64,16 +64,24 @@ def build_detect_fn(cfg, device):
     return jax.jit(detect, device=device)
 
 
+def _sync(out):
+    """Force a real D2H fetch: on the axon tunnel platform,
+    block_until_ready can return before execution completes, so only an
+    actual value fetch is a trustworthy barrier.  Device execution is
+    FIFO per core, so fetching the last call's output fences the queue."""
+    return np.asarray(jax.tree_util.tree_leaves(out)[0])
+
+
 def measure(detect, params, images, iters, batch):
     out = detect(params, images)
-    jax.block_until_ready(out)  # compile + warm
+    _sync(out)  # compile + warm
     for _ in range(WARMUP_ITERS):
         out = detect(params, images)
-    jax.block_until_ready(out)
+    _sync(out)
     t0 = time.perf_counter()
     for _ in range(iters):
         out = detect(params, images)
-    jax.block_until_ready(out)
+    _sync(out)
     dt = time.perf_counter() - t0
     return iters * batch / dt
 

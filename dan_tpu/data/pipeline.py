@@ -93,6 +93,40 @@ def _collate(samples: Sequence[Dict[str, np.ndarray]]) -> Dict[str, np.ndarray]:
     return {k: np.stack([s[k] for s in samples]) for k in samples[0]}
 
 
+def device_prefetch(host_batches, mesh, depth: int = 2):
+    """Overlap host batch production + H2D transfer with device compute.
+
+    Wraps an iterator of host batches into an iterator of device-resident
+    sharded batches, transferring `depth` batches ahead on a background
+    thread (the reference's tf.data prefetch-to-device equivalent).
+    """
+    from dan_tpu.parallel.mesh import shard_batch
+
+    q: "queue.Queue" = queue.Queue(maxsize=depth)
+    stop = threading.Event()
+    _END = object()
+
+    def worker():
+        try:
+            for hb in host_batches:
+                if stop.is_set():
+                    return
+                q.put(shard_batch(hb, mesh))
+        finally:
+            q.put(_END)
+
+    t = threading.Thread(target=worker, daemon=True)
+    t.start()
+    try:
+        while True:
+            item = q.get()
+            if item is _END:
+                return
+            yield item
+    finally:
+        stop.set()
+
+
 class TrainPipeline:
     """Infinite shuffled loader over ImageRecords with threaded decode."""
 

@@ -108,14 +108,17 @@ class TTARunner:
             x_off = jnp.where(flip, c - src_w, 0.0)
             out_h = src_h * scale
             out_w = src_w * scale
-            resized = jax.image.scale_and_translate(
+            from dan_tpu.ops.preprocess import bilinear_resample
+
+            resized = bilinear_resample(
                 img_in,
-                (bucket, bucket, 3),
-                (0, 1),
-                jnp.stack([scale, scale]),
-                jnp.stack([jnp.float32(0.0), -x_off * scale]),
-                method="bilinear",
-                antialias=False,
+                bucket,
+                bucket,
+                scale,
+                scale,
+                0.0,
+                x_off,
+                region=(0.0, src_h, x_off, x_off + src_w),
             )
             net_in = normalize_image(resized, cfg.preprocess)
             cls_logits, loc_preds = detector_forward(

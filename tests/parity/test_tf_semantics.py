@@ -23,6 +23,31 @@ class TestResizeParity:
         got = np.asarray(resize_image(jnp.asarray(img), dst, dst))
         np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-2)
 
+    @pytest.mark.parametrize("src_h,src_w,out", [(100, 77, 640), (480, 640, 128), (31, 31, 64)])
+    def test_squash_resample_matches_tf(self, rng, src_h, src_w, out):
+        """The eval squash path (matmul resample of a canvas sub-region)
+        must bit-match tf.image.resize of the bare region, including the
+        edge-clamp rows/cols."""
+        import jax.numpy as jnp
+
+        from dan_tpu.ops.squash import squash_resize
+
+        img = rng.uniform(0, 255, (src_h, src_w, 3)).astype(np.float32)
+        c = max(src_h, src_w) + 37  # asymmetric canvas padding
+        canvas = np.zeros((c, c, 3), np.float32)
+        canvas[:src_h, :src_w] = img
+        got = np.asarray(
+            squash_resize(
+                jnp.asarray(canvas),
+                jnp.float32(src_h),
+                jnp.float32(src_w),
+                out,
+                out,
+            )
+        )
+        want = tf.image.resize(img, (out, out), "bilinear", antialias=False).numpy()
+        np.testing.assert_allclose(got, want, rtol=1e-4, atol=5e-2)
+
     def test_crop_resize_identity_region(self, rng):
         # crop window == whole image -> plain resize.
         img = rng.uniform(0, 255, (48, 48, 3)).astype(np.float32)
