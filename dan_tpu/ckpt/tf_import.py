@@ -27,6 +27,10 @@ from dan_tpu.config import ModelConfig
 # (regex on the TF variable name) -> (params section, layer key, leaf key).
 # Applied in order; first match wins.  {m} groups substitute into targets.
 NAME_RULES: List[Tuple[str, Tuple[str, str, str]]] = [
+    # LFPN first: its names embed tap names like 'conv3_3/weights' that the
+    # flat backbone rule would otherwise hijack (rules are first-match).
+    (r"lfpn.*?td.*?(conv\d+_\d+)/(weights|biases)$", ("lfpn", r"lfpn_td_\1", None)),
+    (r"lfpn.*?lat.*?(conv\d+_\d+)/(weights|biases)$", ("lfpn", r"lfpn_lat_\1", None)),
     # vgg_16/conv3/conv3_3/weights -> backbone.conv3_3.kernel
     (
         r"(?:vgg_16/)?conv\d+/(conv\d+_\d+)/(weights|biases)$",
@@ -49,9 +53,6 @@ NAME_RULES: List[Tuple[str, Tuple[str, str, str]]] = [
         r"(conv\d+_\d+|fc7)(?:_norm)?_mbox_loc/(weights|biases)$",
         ("heads", r"loc_\1", None),
     ),
-    # LFPN blocks (names [?] — placeholder patterns)
-    (r"lfpn.*?td.*?(conv\d+_\d+)/(weights|biases)$", ("lfpn", r"lfpn_td_\1", None)),
-    (r"lfpn.*?lat.*?(conv\d+_\d+)/(weights|biases)$", ("lfpn", r"lfpn_lat_\1", None)),
 ]
 
 _LEAF = {"weights": "kernel", "biases": "bias"}

@@ -15,13 +15,22 @@ def main():
     from dan_tpu.utils.cache import enable_compilation_cache
 
     enable_compilation_cache()
+    import jax
     ap = argparse.ArgumentParser()
+    ap.add_argument(
+        "--platform",
+        default=None,
+        help="force a jax platform (e.g. 'cpu'); env vars are unreliable "
+        "under the axon sitecustomize",
+    )
     ap.add_argument("--image", required=True)
     ap.add_argument("--ckpt", default=None, help="orbax dir or TF ckpt prefix")
     ap.add_argument("--out", default=None, help="write annotated image here")
     ap.add_argument("--score_threshold", type=float, default=0.5)
     ap.add_argument("--tta", action="store_true", help="full pyramid+flip TTA")
     args = ap.parse_args()
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
 
     from dan_tpu.api import Detector
     from dan_tpu.data.widerface import load_image_rgb

@@ -21,7 +21,14 @@ def main():
     from dan_tpu.utils.cache import enable_compilation_cache
 
     enable_compilation_cache()
+    import jax
     ap = argparse.ArgumentParser()
+    ap.add_argument(
+        "--platform",
+        default=None,
+        help="force a jax platform (e.g. 'cpu'); env vars are unreliable "
+        "under the axon sitecustomize",
+    )
     ap.add_argument("--wider_root", required=False)
     ap.add_argument("--ckpt", default=None)
     ap.add_argument("--output_dir", default=None)
@@ -32,6 +39,8 @@ def main():
     ap.add_argument("--score_only", action="store_true", help="skip inference, read --pred_dir")
     ap.add_argument("--pred_dir", default=None)
     args = ap.parse_args()
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
 
     from dan_tpu.api import Detector
     from dan_tpu.data.widerface import load_image_rgb, load_split

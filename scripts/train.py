@@ -24,7 +24,14 @@ def main():
     from dan_tpu.utils.cache import enable_compilation_cache
 
     enable_compilation_cache()
+    import jax
     ap = argparse.ArgumentParser()
+    ap.add_argument(
+        "--platform",
+        default=None,
+        help="force a jax platform (e.g. 'cpu'); env vars are unreliable "
+        "under the axon sitecustomize",
+    )
     ap.add_argument("--wider_root", default=None, help="WIDER FACE root dir")
     ap.add_argument("--model_dir", required=True)
     ap.add_argument("--steps", type=int, default=None)
@@ -36,9 +43,18 @@ def main():
     ap.add_argument("--lr", type=float, default=None)
     ap.add_argument("--grad_clip", type=float, default=None)
     ap.add_argument("--warmup_steps", type=int, default=None)
+    ap.add_argument(
+        "--debug_nans",
+        action="store_true",
+        help="enable jax_debug_nans (SURVEY.md §5 'sanitizers')",
+    )
     ap.add_argument("--trace_dir", default=None)
     ap.add_argument("--log_every", type=int, default=None)
     args = ap.parse_args()
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+    if args.debug_nans:
+        jax.config.update("jax_debug_nans", True)
 
     from dan_tpu.config import default_config
     from dan_tpu.ckpt.orbax_io import (

@@ -1,0 +1,113 @@
+"""End-to-end eval on a synthetic mini-WIDER dataset (SURVEY.md §4 item 5):
+build a tiny on-disk WIDER layout, run the full eval path (TTA dataset
+runner -> WIDER txt writer -> AP protocol), and check a trained-free
+invariant: a detector whose predictions ARE the gt boxes scores AP 1.0."""
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from dan_tpu.config import (
+    DANConfig,
+    MatchConfig,
+    ModelConfig,
+    PostprocessConfig,
+    PreprocessConfig,
+    TTAConfig,
+)
+from dan_tpu.data.widerface import load_split
+from dan_tpu.eval.widerface_ap import evaluate_widerface
+from dan_tpu.eval.writer import load_detection_dir, write_wider_detections
+
+
+@pytest.fixture(scope="module")
+def mini_wider(tmp_path_factory):
+    """WIDER directory layout with 6 images / 2 events, bright 'faces'."""
+    import cv2
+
+    root = tmp_path_factory.mktemp("mini_wider")
+    rng = np.random.default_rng(0)
+    split_dir = root / "wider_face_split"
+    split_dir.mkdir()
+    lines = []
+    gt = {}
+    for i in range(6):
+        event = "0--Alpha" if i < 3 else "1--Beta"
+        rel = f"{event}/img_{i}.jpg"
+        img_dir = root / "WIDER_val" / "images" / event
+        img_dir.mkdir(parents=True, exist_ok=True)
+        h, w = int(rng.integers(80, 140)), int(rng.integers(90, 160))
+        img = rng.integers(0, 60, (h, w, 3), dtype=np.uint8)
+        n = int(rng.integers(1, 4))
+        boxes = []
+        for _ in range(n):
+            size = int(rng.integers(55, min(h, w) - 6))
+            x = int(rng.integers(0, w - size))
+            y = int(rng.integers(0, h - size))
+            img[y : y + size, x : x + size] = rng.integers(170, 255, 3, dtype=np.uint8)
+            boxes.append([x, y, size, size])
+        cv2.imwrite(str(img_dir / f"img_{i}.jpg"), img[:, :, ::-1])
+        lines.append(rel)
+        lines.append(str(n))
+        for x, y, bw, bh in boxes:
+            lines.append(f"{x} {y} {bw} {bh} 0 0 0 0 0 0")
+        gt[f"{event}/img_{i}"] = np.asarray(
+            [[x, y, x + bw, y + bh] for x, y, bw, bh in boxes], np.float64
+        )
+    (split_dir / "wider_face_val_bbx_gt.txt").write_text("\n".join(lines) + "\n")
+    return str(root), gt
+
+
+class TestEvalEndToEnd:
+    def test_load_split(self, mini_wider):
+        root, gt = mini_wider
+        records = load_split(root, "val")
+        assert len(records) == 6
+        assert all(os.path.exists(r.path) for r in records)
+
+    def test_perfect_detector_ap_one(self, mini_wider, tmp_path):
+        """Write gt as detections through the real writer, read back through
+        the real reader, score through the real protocol -> AP 1.0."""
+        root, gt = mini_wider
+        records = load_split(root, "val")
+        out_dir = str(tmp_path / "preds")
+        for r in records:
+            stem = os.path.splitext(r.rel_path)[0]
+            boxes = gt[stem][:, :4].astype(np.float32)
+            scores = np.linspace(0.9, 0.6, len(boxes)).astype(np.float32)
+            write_wider_detections(out_dir, r.rel_path, boxes, scores)
+        preds = load_detection_dir(out_dir)
+        assert len(preds) == 6
+        aps = evaluate_widerface(preds, gt)
+        for s in ("easy", "medium", "hard"):
+            assert aps[s] == pytest.approx(1.0, abs=1e-3), aps
+
+    def test_eval_cli_runs(self, mini_wider, tmp_path):
+        """Drive scripts/eval.py end-to-end (random weights, tiny TTA)."""
+        root, _ = mini_wider
+        repo = os.path.join(os.path.dirname(__file__), "..", "..")
+        env = dict(os.environ)
+        proc = subprocess.run(
+            [
+                sys.executable,
+                os.path.join(repo, "scripts", "eval.py"),
+                "--wider_root",
+                root,
+                "--output_dir",
+                str(tmp_path / "out"),
+                "--limit",
+                "2",
+                "--no_tta",
+                "--platform",
+                "cpu",
+            ],
+            capture_output=True,
+            text=True,
+            timeout=900,
+            env=env,
+            cwd=repo,
+        )
+        assert proc.returncode == 0, proc.stderr[-2000:]
+        assert "WIDER FACE val AP" in proc.stdout

@@ -59,13 +59,44 @@ class TestRoundtrip:
         # Perturb nothing; import into a DIFFERENT random init and verify
         # every mapped leaf got overwritten with the exported values.
         imported = load_tf_checkpoint(prefix, cfg, verbose=False)
-        for section in ("backbone", "l2norm", "heads"):
+        for section in ("backbone", "l2norm", "heads", "lfpn"):
             for layer, leaves in params[section].items():
                 for leaf, want in leaves.items():
                     got = np.asarray(imported[section][layer][leaf])
                     np.testing.assert_array_equal(
                         got, np.asarray(want), err_msg=f"{section}/{layer}/{leaf}"
                     )
+
+    def test_detector_from_checkpoint_tf_path(self, tmp_path):
+        """Config-1 surface: Detector.from_checkpoint on a TF ckpt prefix
+        produces identical detections to a Detector built from the params
+        directly."""
+        import numpy as np
+
+        from dan_tpu.api import Detector
+        from dan_tpu.config import (
+            DANConfig,
+            ModelConfig,
+            PostprocessConfig,
+            TTAConfig,
+        )
+
+        cfg = DANConfig(
+            model=ModelConfig(image_size=64, compute_dtype="float32"),
+            postprocess=PostprocessConfig(pre_nms_topk=64, max_detections=8),
+            tta=TTAConfig(buckets=(64, 128)),
+        )
+        params = init_detector_params(jax.random.PRNGKey(3), cfg.model)
+        prefix = str(tmp_path / "ref.ckpt")
+        export_tf_checkpoint(jax.tree_util.tree_map(np.asarray, params), prefix)
+        det_direct = Detector(params, cfg)
+        det_loaded = Detector.from_checkpoint(prefix, cfg)
+        rng = np.random.default_rng(0)
+        img = rng.integers(0, 255, (60, 70, 3), dtype=np.uint8)
+        a = det_direct.detect(img)
+        b = det_loaded.detect(img)
+        np.testing.assert_array_equal(a["bboxes"], b["bboxes"])
+        np.testing.assert_array_equal(a["scores"], b["scores"])
 
     def test_classifier_fc_subsampling(self):
         from dan_tpu.ckpt.tf_import import _adapt_vgg_fc
