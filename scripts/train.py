@@ -65,7 +65,7 @@ def main():
     from dan_tpu.data.pipeline import TrainPipeline
     from dan_tpu.data.synthetic import synthetic_batch
     from dan_tpu.data.widerface import load_split
-    from dan_tpu.parallel.mesh import make_mesh, shard_batch
+    from dan_tpu.parallel.mesh import make_mesh
     from dan_tpu.train.loop import create_train_state, make_sharded_train_step
     from dan_tpu.utils.logging import MetricsLogger
     from dan_tpu.utils.profiling import ThroughputMeter, maybe_trace
