@@ -43,6 +43,7 @@ def main():
     ap.add_argument("--lr", type=float, default=None)
     ap.add_argument("--grad_clip", type=float, default=None)
     ap.add_argument("--warmup_steps", type=int, default=None)
+    ap.add_argument("--checkpoint_every", type=int, default=None)
     ap.add_argument(
         "--debug_nans",
         action="store_true",
@@ -80,6 +81,8 @@ def main():
         overrides["grad_clip_norm"] = args.grad_clip
     if args.warmup_steps is not None:
         overrides["warmup_steps"] = args.warmup_steps
+    if args.checkpoint_every is not None:
+        overrides["checkpoint_every"] = args.checkpoint_every
     if overrides:
         cfg = dataclasses.replace(
             cfg, train=dataclasses.replace(cfg.train, **overrides)
