@@ -94,6 +94,84 @@ class Detector:
         self._detect_fns[canvas_size] = detect_fn
         return detect_fn
 
+    def _get_detect_batch_fn(self, batch: int, canvas_size: int):
+        """Batched variant for serving throughput: (B, C, C, 3) canvases +
+        per-image extents -> batched detection dict."""
+        key = ("batch", batch, canvas_size)
+        if key in self._detect_fns:
+            return self._detect_fns[key]
+        cfg = self.config
+        size = cfg.model.image_size
+        anchors = jnp.asarray(generate_anchors_np(cfg.anchors, size, size))
+
+        def one(params, canvas_u8, src_h, src_w):
+            img = eval_preprocess(canvas_u8, src_h, src_w, size, cfg.preprocess)
+            cls_logits, loc_preds = detector_forward(params, img[None], cfg.model)
+            det = postprocess_one(
+                cls_logits[0],
+                loc_preds[0],
+                anchors,
+                cfg.anchors,
+                cfg.postprocess,
+                float(size),
+                float(size),
+            )
+            sx = src_w / size
+            sy = src_h / size
+            det["bboxes"] = det["bboxes"] * jnp.stack([sx, sy, sx, sy])
+            return det
+
+        fn = jax.jit(jax.vmap(one, in_axes=(None, 0, 0, 0)))
+        self._detect_fns[key] = fn
+        return fn
+
+    def detect_batch(self, images) -> list:
+        """Batched detection for serving: list of (H, W, 3) images -> list
+        of detection dicts.  Images share the smallest canvas bucket that
+        fits the largest of them; one compiled executable per
+        (batch, bucket) pair."""
+        images = [np.asarray(im) for im in images]
+        if not images:
+            return []
+        c = self._canvas_for(
+            max(im.shape[0] for im in images), max(im.shape[1] for im in images)
+        )
+        n = len(images)
+        canvases = np.zeros((n, c, c, 3), np.uint8)
+        hs = np.zeros((n,), np.float32)
+        ws = np.zeros((n,), np.float32)
+        for i, im in enumerate(images):
+            if im.dtype != np.uint8:
+                im = np.clip(im, 0, 255).astype(np.uint8)
+            h, w = im.shape[:2]
+            canvases[i, :h, :w] = im
+            hs[i], ws[i] = h, w
+        fn = self._get_detect_batch_fn(n, c)
+        det = fn(self.params, jnp.asarray(canvases), jnp.asarray(hs), jnp.asarray(ws))
+        bboxes = np.asarray(det["bboxes"])
+        scores = np.asarray(det["scores"])
+        valid = np.asarray(det["valid"])
+        return [
+            {"bboxes": bboxes[i][valid[i]], "scores": scores[i][valid[i]]}
+            for i in range(n)
+        ]
+
+    def warmup(self, buckets=None) -> None:
+        """Pre-compile (or load from the persistent cache) the detect
+        executables for the given canvas buckets — call once at serving
+        startup so the first request per resolution isn't a multi-minute
+        compile."""
+        import numpy as np
+
+        for c in buckets or self.config.tta.buckets:
+            fn = self._get_detect_fn(c)
+            fn(
+                self.params,
+                jnp.zeros((c, c, 3), jnp.uint8),
+                jnp.float32(c),
+                jnp.float32(c),
+            )
+
     def _canvas_for(self, h: int, w: int) -> int:
         m = max(h, w)
         for b in self.config.tta.buckets:

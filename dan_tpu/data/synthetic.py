@@ -17,7 +17,11 @@ def synthetic_sample(
     rng: np.random.Generator, canvas: int, max_gt: int, n_faces: int | None = None
 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     """One uint8 canvas + (max_gt, 4) corner boxes + (max_gt,) mask."""
-    img = rng.integers(0, 60, (canvas, canvas, 3), dtype=np.uint8)
+    # Low-res noise upsampled 4x: 16x cheaper than full-res RNG (the host
+    # generator must keep up with the ~10ms device step in smoke runs).
+    coarse = rng.integers(0, 60, (canvas // 4 + 1, canvas // 4 + 1, 3), dtype=np.uint8)
+    img = np.repeat(np.repeat(coarse, 4, axis=0), 4, axis=1)[:canvas, :canvas]
+    img = np.ascontiguousarray(img)
     if n_faces is None:
         n_faces = int(rng.integers(1, 6))
     n_faces = min(n_faces, max_gt)

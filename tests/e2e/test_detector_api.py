@@ -71,6 +71,38 @@ class TestDetectorAPI:
         with pytest.raises(ValueError):
             detector.detect(np.zeros((64, 64), np.uint8))
 
+    def test_detect_batch_matches_single(self, detector, rng):
+        """Serving batch path == per-image path (canvas bucket padding must
+        not change results: the squash clamps to each image's true extent)."""
+        images = [
+            rng.integers(0, 255, (50, 60, 3), dtype=np.uint8),
+            rng.integers(0, 255, (64, 40, 3), dtype=np.uint8),
+            rng.integers(0, 255, (30, 30, 3), dtype=np.uint8),
+        ]
+        batch_out = detector.detect_batch(images)
+        assert len(batch_out) == 3
+        for im, got in zip(images, batch_out):
+            want = detector.detect(im)
+            np.testing.assert_allclose(
+                got["bboxes"], want["bboxes"], rtol=1e-5, atol=1e-4
+            )
+            np.testing.assert_allclose(
+                got["scores"], want["scores"], rtol=1e-6
+            )
+
+    def test_detect_batch_empty(self, detector):
+        assert detector.detect_batch([]) == []
+
+    def test_warmup_compiles_buckets(self, detector):
+        detector.warmup(buckets=(64, 128))
+        assert {64, 128} <= set(detector._detect_fns)
+
+    def test_image_larger_than_buckets(self, detector, rng):
+        """Outsized input rounds the canvas up to a /128 multiple."""
+        img = rng.integers(0, 255, (300, 260, 3), dtype=np.uint8)
+        out = detector.detect(img)
+        assert out["bboxes"].shape[1] == 4
+
     def test_score_threshold_filters(self, detector, rng):
         img = rng.integers(0, 255, (64, 64, 3), dtype=np.uint8)
         full = detector.detect(img)
