@@ -61,16 +61,15 @@ class Detector:
 
     # -- inference -----------------------------------------------------------
 
-    def _get_detect_fn(self, canvas_size: int):
-        """One compiled executable per canvas bucket (fixed shapes)."""
-        if canvas_size in self._detect_fns:
-            return self._detect_fns[canvas_size]
+    def _detect_one_fn(self):
+        """The shared per-image detect graph: canvas + true extent ->
+        detection dict in original pixels.  jit'd directly for detect(),
+        vmapped for detect_batch() — one definition, no drift."""
         cfg = self.config
         size = cfg.model.image_size
         anchors = jnp.asarray(generate_anchors_np(cfg.anchors, size, size))
 
-        @jax.jit
-        def detect_fn(params, canvas_u8, src_h, src_w):
+        def one(params, canvas_u8, src_h, src_w):
             img = eval_preprocess(canvas_u8, src_h, src_w, size, cfg.preprocess)
             cls_logits, loc_preds = detector_forward(
                 params, img[None], cfg.model
@@ -87,82 +86,85 @@ class Detector:
             # Map back to original pixels (inverse of the squash resize).
             sx = src_w / size
             sy = src_h / size
-            scale = jnp.stack([sx, sy, sx, sy])
-            det["bboxes"] = det["bboxes"] * scale
-            return det
-
-        self._detect_fns[canvas_size] = detect_fn
-        return detect_fn
-
-    def _get_detect_batch_fn(self, batch: int, canvas_size: int):
-        """Batched variant for serving throughput: (B, C, C, 3) canvases +
-        per-image extents -> batched detection dict."""
-        key = ("batch", batch, canvas_size)
-        if key in self._detect_fns:
-            return self._detect_fns[key]
-        cfg = self.config
-        size = cfg.model.image_size
-        anchors = jnp.asarray(generate_anchors_np(cfg.anchors, size, size))
-
-        def one(params, canvas_u8, src_h, src_w):
-            img = eval_preprocess(canvas_u8, src_h, src_w, size, cfg.preprocess)
-            cls_logits, loc_preds = detector_forward(params, img[None], cfg.model)
-            det = postprocess_one(
-                cls_logits[0],
-                loc_preds[0],
-                anchors,
-                cfg.anchors,
-                cfg.postprocess,
-                float(size),
-                float(size),
-            )
-            sx = src_w / size
-            sy = src_h / size
             det["bboxes"] = det["bboxes"] * jnp.stack([sx, sy, sx, sy])
             return det
 
-        fn = jax.jit(jax.vmap(one, in_axes=(None, 0, 0, 0)))
+        return one
+
+    def _get_detect_fn(self, canvas_size: int):
+        """One compiled executable per canvas bucket (fixed shapes)."""
+        if canvas_size in self._detect_fns:
+            return self._detect_fns[canvas_size]
+        fn = jax.jit(self._detect_one_fn())
+        self._detect_fns[canvas_size] = fn
+        return fn
+
+    def _get_detect_batch_fn(self, batch: int, canvas_size: int):
+        """Batched (vmapped) variant for serving throughput."""
+        key = ("batch", batch, canvas_size)
+        if key in self._detect_fns:
+            return self._detect_fns[key]
+        fn = jax.jit(jax.vmap(self._detect_one_fn(), in_axes=(None, 0, 0, 0)))
         self._detect_fns[key] = fn
         return fn
 
-    def detect_batch(self, images) -> list:
+    @staticmethod
+    def _check_image(image) -> np.ndarray:
+        image = np.asarray(image)
+        if image.ndim != 3 or image.shape[-1] != 3:
+            raise ValueError(f"expected (H, W, 3) RGB image, got {image.shape}")
+        if image.dtype != np.uint8:
+            image = np.clip(image, 0, 255).astype(np.uint8)
+        return image
+
+    @staticmethod
+    def _batch_bucket(n: int) -> int:
+        """Round batch size up to a power of two so ragged serving batches
+        reuse a handful of compiled executables instead of one per exact
+        length (each fresh compile is minutes on this setup)."""
+        b = 1
+        while b < n:
+            b *= 2
+        return b
+
+    def detect_batch(self, images, score_threshold: Optional[float] = None) -> list:
         """Batched detection for serving: list of (H, W, 3) images -> list
         of detection dicts.  Images share the smallest canvas bucket that
-        fits the largest of them; one compiled executable per
-        (batch, bucket) pair."""
-        images = [np.asarray(im) for im in images]
+        fits the largest of them; the batch dim is padded up to a power of
+        two so one executable serves each (bucket, batch-bucket) pair."""
+        images = [self._check_image(im) for im in images]
         if not images:
             return []
         c = self._canvas_for(
             max(im.shape[0] for im in images), max(im.shape[1] for im in images)
         )
         n = len(images)
-        canvases = np.zeros((n, c, c, 3), np.uint8)
-        hs = np.zeros((n,), np.float32)
-        ws = np.zeros((n,), np.float32)
+        nb = self._batch_bucket(n)
+        canvases = np.zeros((nb, c, c, 3), np.uint8)
+        hs = np.ones((nb,), np.float32)
+        ws = np.ones((nb,), np.float32)
         for i, im in enumerate(images):
-            if im.dtype != np.uint8:
-                im = np.clip(im, 0, 255).astype(np.uint8)
             h, w = im.shape[:2]
             canvases[i, :h, :w] = im
             hs[i], ws[i] = h, w
-        fn = self._get_detect_batch_fn(n, c)
+        fn = self._get_detect_batch_fn(nb, c)
         det = fn(self.params, jnp.asarray(canvases), jnp.asarray(hs), jnp.asarray(ws))
         bboxes = np.asarray(det["bboxes"])
         scores = np.asarray(det["scores"])
         valid = np.asarray(det["valid"])
-        return [
-            {"bboxes": bboxes[i][valid[i]], "scores": scores[i][valid[i]]}
-            for i in range(n)
-        ]
+        out = []
+        for i in range(n):
+            keep = valid[i]
+            if score_threshold is not None:
+                keep = keep & (scores[i] >= score_threshold)
+            out.append({"bboxes": bboxes[i][keep], "scores": scores[i][keep]})
+        return out
 
     def warmup(self, buckets=None) -> None:
         """Pre-compile (or load from the persistent cache) the detect
         executables for the given canvas buckets — call once at serving
         startup so the first request per resolution isn't a multi-minute
         compile."""
-        import numpy as np
-
         for c in buckets or self.config.tta.buckets:
             fn = self._get_detect_fn(c)
             fn(
@@ -188,11 +190,7 @@ class Detector:
         'scores': (N,) float32}, N <= config.postprocess.max_detections,
         sorted by descending score (reference detection-dict contract [B]).
         """
-        image = np.asarray(image)
-        if image.ndim != 3 or image.shape[-1] != 3:
-            raise ValueError(f"expected (H, W, 3) RGB image, got {image.shape}")
-        if image.dtype != np.uint8:
-            image = np.clip(image, 0, 255).astype(np.uint8)
+        image = self._check_image(image)
         h, w = image.shape[:2]
         c = self._canvas_for(h, w)
         canvas = np.zeros((c, c, 3), np.uint8)

@@ -1,4 +1,10 @@
-from dan_tpu.eval.tta import TTARunner, Variant, pick_bucket, plan_variants
+from dan_tpu.eval.tta import (
+    TTARunner,
+    Variant,
+    canvas_bucket,
+    pick_bucket,
+    plan_variants,
+)
 from dan_tpu.eval.widerface_ap import (
     approx_difficulty_keep,
     evaluate_widerface,
@@ -14,6 +20,7 @@ __all__ = [
     "TTARunner",
     "Variant",
     "approx_difficulty_keep",
+    "canvas_bucket",
     "evaluate_widerface",
     "load_detection_dir",
     "load_official_gt",

@@ -32,8 +32,7 @@ from dan_tpu.box.decode import decode_boxes
 from dan_tpu.config import DANConfig
 from dan_tpu.models.detector import detector_forward
 from dan_tpu.ops.bbox_vote import bbox_vote
-from dan_tpu.ops.nms import topk_select
-from dan_tpu.ops.postprocess import _on_tpu, _run_nms
+from dan_tpu.ops.postprocess import _on_tpu, score_filter_topk_nms
 from dan_tpu.ops.preprocess import normalize_image
 
 
@@ -49,9 +48,17 @@ class Variant:
 
 
 def plan_variants(h: int, w: int, config: DANConfig) -> List[Variant]:
-    """The S3FD TTA schedule for an (h, w) image."""
+    """The S3FD TTA schedule for an (h, w) image.
+
+    Every variant's scaled extent is capped to the largest resolution
+    bucket — the reference (bucket-free, variable-shape sess.runs) has no
+    such cap, but an uncapped variant would silently truncate the image in
+    a fixed-shape bucket.  The cap only binds for images whose shrunken
+    extent already approaches the largest bucket [?].
+    """
     tta = config.tta
-    shrink = min(1.0, math.sqrt(tta.max_pixels / float(h * w)))
+    cap = max(tta.buckets) / float(max(h, w))
+    shrink = min(1.0, math.sqrt(tta.max_pixels / float(h * w)), cap)
     variants = [Variant(scale=shrink, flip=False)]
     if tta.enable_flip:
         variants.append(Variant(scale=shrink, flip=True))
@@ -59,7 +66,7 @@ def plan_variants(h: int, w: int, config: DANConfig) -> List[Variant]:
     if shrink >= 0.99 and tta.extra_scale_small_images:
         scales.append(tta.extra_scale_small_images)
     for st in scales:
-        s = st * shrink
+        s = min(st * shrink, cap)
         if s >= 1.0:
             gate = Variant(
                 scale=s, flip=False, max_size=tta.small_box_max_size
@@ -71,10 +78,20 @@ def plan_variants(h: int, w: int, config: DANConfig) -> List[Variant]:
 
 
 def pick_bucket(extent: float, buckets: Sequence[int]) -> int:
+    """Smallest bucket holding `extent` (the scaled network input)."""
     for b in sorted(buckets):
         if extent <= b:
             return b
     return max(buckets)
+
+
+def canvas_bucket(extent: float, buckets: Sequence[int]) -> int:
+    """Canvas size for the SOURCE image: must actually fit it, so oversized
+    images round up to a /128 multiple beyond the largest bucket."""
+    for b in sorted(buckets):
+        if extent <= b:
+            return b
+    return -(-int(extent) // 128) * 128
 
 
 class TTARunner:
@@ -128,20 +145,7 @@ class TTARunner:
             boxes = decode_boxes(
                 loc_preds[0], anchors, cfg.anchors.prior_scaling, out_h, out_w
             )
-            # Score threshold + degenerate-after-clip filter (same rule as
-            # ops.postprocess — zero-area boxes would all survive NMS).
-            bw = boxes[:, 2] - boxes[:, 0]
-            bh = boxes[:, 3] - boxes[:, 1]
-            keep = (
-                (scores >= cfg.postprocess.score_threshold)
-                & (bw > 1.0)
-                & (bh > 1.0)
-            )
-            scores = jnp.where(keep, scores, 0.0)
-            boxes_k, scores_k = topk_select(
-                boxes, scores, cfg.postprocess.pre_nms_topk
-            )
-            res = _run_nms(boxes_k, scores_k, cfg.postprocess)
+            res = score_filter_topk_nms(boxes, scores, cfg.postprocess)
             # Un-mirror, then map back to original pixels.
             x1 = jnp.where(flip, out_w - res.boxes[:, 2], res.boxes[:, 0])
             x2 = jnp.where(flip, out_w - res.boxes[:, 0], res.boxes[:, 2])
@@ -172,11 +176,10 @@ class TTARunner:
         self._bucket_fns[key] = fn
         return fn
 
-    def _get_vote_fn(self, n_in: int):
-        cfg = self.config
+    def _get_vote_fn(self, n_in: int = 0):
+        """One jitted vote fn (jit itself caches per input shape)."""
         if self._vote_fn is None:
-            self._vote_fn = {}
-        if n_in not in self._vote_fn:
+            cfg = self.config
             if cfg.postprocess.use_pallas_nms and _on_tpu():
                 from dan_tpu.ops.bbox_vote_pallas import bbox_vote_pallas
 
@@ -195,8 +198,8 @@ class TTARunner:
                     cfg.postprocess.vote_iou_threshold,
                     cfg.postprocess.max_detections,
                 )
-            self._vote_fn[n_in] = jax.jit(vote)
-        return self._vote_fn[n_in]
+            self._vote_fn = jax.jit(vote)
+        return self._vote_fn
 
     # -- single image ----------------------------------------------------------
 
@@ -212,7 +215,7 @@ class TTARunner:
         groups: Dict[Tuple[int, int], List[Variant]] = {}
         for v in variants:
             bucket = pick_bucket(max(h, w) * v.scale, self.config.tta.buckets)
-            canvas = pick_bucket(max(h, w), self.config.tta.buckets)
+            canvas = canvas_bucket(max(h, w), self.config.tta.buckets)
             groups.setdefault((bucket, canvas), []).append(v)
         for (bucket, canvas_size), vs in groups.items():
             canvas = np.zeros((canvas_size, canvas_size, 3), np.uint8)
@@ -323,7 +326,7 @@ class TTARunner:
                 image = np.clip(image, 0, 255).astype(np.uint8)
             h, w = image.shape[:2]
             per_key.setdefault(key, [])
-            canvas_size = pick_bucket(max(h, w), self.config.tta.buckets)
+            canvas_size = canvas_bucket(max(h, w), self.config.tta.buckets)
             canvas = np.zeros((canvas_size, canvas_size, 3), np.uint8)
             canvas[:h, :w] = image
             for v in plan_variants(h, w, self.config):

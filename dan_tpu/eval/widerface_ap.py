@@ -76,11 +76,14 @@ def _image_eval(
     for i in range(n):
         if len(gts):
             j = int(np.argmax(overlaps[i]))
-            if overlaps[i, j] >= iou_thresh and not gt_matched[j]:
-                gt_matched[j] = True
+            if overlaps[i, j] >= iou_thresh:
                 if ignore[j]:
-                    proposal[i] = 0  # matched an ignored gt: not a proposal
-                else:
+                    # Official rule: EVERY det whose best-overlap gt lies
+                    # outside the difficulty subset is excluded from the
+                    # proposal pool (no matched gate on this branch).
+                    proposal[i] = 0
+                elif not gt_matched[j]:
+                    gt_matched[j] = True
                     recall_count += 1
         pred_recall[i] = recall_count
     return pred_recall, proposal

@@ -76,11 +76,13 @@ void image_eval(const double* dets, int64_t n, const double* gts, int64_t m,
           best_j = j;
         }
       }
-      if (best >= iou_thresh && !matched[best_j]) {
-        matched[best_j] = true;
+      if (best >= iou_thresh) {
         if (ignore[best_j]) {
+          // Official rule: every det whose best-overlap gt is outside the
+          // subset is excluded from the proposal pool (no matched gate).
           proposal[i] = 0;
-        } else {
+        } else if (!matched[best_j]) {
+          matched[best_j] = true;
           ++recall;
         }
       }

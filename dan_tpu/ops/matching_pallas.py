@@ -258,7 +258,7 @@ def match_anchors_pallas(
     mask_p = mask_p.at[0, :g].set(gt_mask.astype(jnp.float32))
 
     k = min(match_config.scale_comp_topk, a)
-    kpad = 8  # >= k, tile-friendly sublane count for the running top-k
+    kpad = max(8, k)  # tile-friendly sublane count; must be >= k
     grid = (a_pad // _TILE_A,)
     stats = pl.pallas_call(
         functools.partial(

@@ -11,10 +11,13 @@ the input is already score-sorted (lax.top_k upstream):
     2. one parallel (B, N) suppression sweep of the block's kept boxes
        over all later boxes.
 
-vs the argmax-loop kernel (nms_pallas): 750 serial steps x (two cross-lane
-reductions over N) becomes N tiny steps + N/B parallel sweeps — ~10x faster
-at N=5000 on v5e.  A box suppressed earlier never suppresses later boxes
-(checked via the running `removed` mask), which is exactly greedy.
+Measured on v5e at N=5000/max_out=750: 2.35 ms single-call vs 3.73 ms for
+the argmax-loop kernel (nms_pallas) and 10.7 ms for the XLA while_loop —
+but SLOWER under vmap at batch 8 (11.0 vs 8.4 ms), so the argmax kernel
+remains the dispatched default (ops.postprocess._run_nms); this kernel is
+the better scaling path for large single-call N.  A box suppressed earlier
+never suppresses later boxes (checked via the running `removed` mask),
+which is exactly greedy.
 
 Grid = one program per block; the `removed` mask lives in VMEM scratch
 across sequential grid steps (TPU grids execute serially per core).
@@ -159,11 +162,17 @@ def greedy_nms_blocked(
     )(boxes_t, scores_p)[0]
 
     # First max_out kept (input is score-sorted, so index order = rank).
+    # top_k's k may not exceed the array length: extract min(max_out, n_pad)
+    # and zero-pad (matching the XLA twin's contract for small inputs).
     kept_bool = kept > 0.5
     key = jnp.where(kept_bool, n_pad - jnp.arange(n_pad), 0)
-    top_key, idx = jax.lax.top_k(key, max_out)
-    rank_ok = jnp.cumsum(jnp.ones_like(top_key), 0) <= max_out
-    valid = (top_key > 0) & rank_ok
+    k_top = min(max_out, n_pad)
+    top_key, idx = jax.lax.top_k(key, k_top)
+    if k_top < max_out:
+        pad = max_out - k_top
+        top_key = jnp.concatenate([top_key, jnp.zeros((pad,), top_key.dtype)])
+        idx = jnp.concatenate([idx, jnp.zeros((pad,), idx.dtype)])
+    valid = top_key > 0
     idx = jnp.minimum(idx, n - 1)
     return NMSResult(
         boxes=jnp.where(valid[:, None], boxes[idx], 0.0),

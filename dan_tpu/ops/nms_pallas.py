@@ -128,9 +128,17 @@ def greedy_nms_pallas(
 
     # rank -> ordered outputs: key = max_out - rank for selected (rank 0 is
     # largest), 0 for unselected; one top_k sorts by selection order.
+    # top_k's k may not exceed the array length, so extract min(max_out,
+    # n_pad) and zero-pad up to max_out (matching the XLA twin's contract
+    # for small inputs).
     selected = rank >= 0
     key = jnp.where(selected, max_out - rank, 0)
-    top_key, idx = jax.lax.top_k(key, max_out)
+    k_top = min(max_out, n_pad)
+    top_key, idx = jax.lax.top_k(key, k_top)
+    if k_top < max_out:
+        pad = max_out - k_top
+        top_key = jnp.concatenate([top_key, jnp.zeros((pad,), top_key.dtype)])
+        idx = jnp.concatenate([idx, jnp.zeros((pad,), idx.dtype)])
     valid = top_key > 0
     idx = jnp.minimum(idx, n - 1)  # padded columns can never be selected
     return NMSResult(

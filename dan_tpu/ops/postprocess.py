@@ -44,6 +44,24 @@ def _run_nms(boxes, scores, post_config: PostprocessConfig):
     )
 
 
+def score_filter_topk_nms(
+    boxes: jnp.ndarray,
+    scores: jnp.ndarray,
+    post_config: PostprocessConfig,
+):
+    """Shared tail of every detection path: drop sub-threshold and
+    degenerate-after-clip boxes (zero-area boxes have IoU 0 with everything
+    and would all survive greedy NMS — reference `select_bboxes` semantics
+    [K]), pre-NMS top-k, then greedy NMS.  Used by both the single-image
+    detect path and the TTA variants so the two can never drift."""
+    w = boxes[..., 2] - boxes[..., 0]
+    h = boxes[..., 3] - boxes[..., 1]
+    keep = (scores >= post_config.score_threshold) & (w > 1.0) & (h > 1.0)
+    scores = jnp.where(keep, scores, 0.0)
+    boxes_k, scores_k = topk_select(boxes, scores, post_config.pre_nms_topk)
+    return _run_nms(boxes_k, scores_k, post_config)
+
+
 def postprocess_one(
     cls_logits: jnp.ndarray,
     loc_preds: jnp.ndarray,
@@ -62,16 +80,7 @@ def postprocess_one(
     boxes = decode_boxes(
         loc_preds, anchors_center, anchor_config.prior_scaling, image_h, image_w
     )
-    # Zero out sub-threshold scores before top-k so they never enter NMS,
-    # and drop boxes degenerate after clipping (reference `select_bboxes`
-    # semantics [K]): zero-area boxes have IoU 0 with everything and would
-    # otherwise all survive greedy NMS.
-    w = boxes[..., 2] - boxes[..., 0]
-    h = boxes[..., 3] - boxes[..., 1]
-    keep = (scores >= post_config.score_threshold) & (w > 1.0) & (h > 1.0)
-    scores = jnp.where(keep, scores, 0.0)
-    boxes_k, scores_k = topk_select(boxes, scores, post_config.pre_nms_topk)
-    res = _run_nms(boxes_k, scores_k, post_config)
+    res = score_filter_topk_nms(boxes, scores, post_config)
     return {"bboxes": res.boxes, "scores": res.scores, "valid": res.valid}
 
 

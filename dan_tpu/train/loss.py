@@ -63,12 +63,16 @@ def detection_loss(
 
     # --- hard-negative mining (per image, fixed shape) ---
     num_pos = jnp.sum(positive, axis=1)  # (B,)
+    # 3:1 rule [K]; the hnm_min_negatives floor applies only to images with
+    # NO positives (otherwise it would skew sparse-face crops toward
+    # background, diverging from the documented S3FD recipe).
+    wanted = jnp.where(
+        num_pos > 0,
+        (config.hnm_ratio * num_pos).astype(jnp.int32),
+        config.hnm_min_negatives,
+    )
     num_neg_keep = jnp.minimum(
-        jnp.maximum(
-            (config.hnm_ratio * num_pos).astype(jnp.int32),
-            config.hnm_min_negatives,
-        ),
-        jnp.sum(negative, axis=1).astype(jnp.int32),
+        wanted, jnp.sum(negative, axis=1).astype(jnp.int32)
     )  # (B,)
     neg_ce = jnp.where(negative, ce, -jnp.inf)  # (B, A)
     ranks = jax.vmap(_rank_desc)(neg_ce)  # (B, A)

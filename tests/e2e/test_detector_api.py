@@ -93,6 +93,25 @@ class TestDetectorAPI:
     def test_detect_batch_empty(self, detector):
         assert detector.detect_batch([]) == []
 
+    def test_detect_batch_bad_shape_raises(self, detector, rng):
+        with pytest.raises(ValueError):
+            detector.detect_batch([rng.integers(0, 255, (50, 60), dtype=np.uint8)])
+
+    def test_detect_batch_pads_to_power_of_two(self, detector, rng):
+        imgs = [rng.integers(0, 255, (40, 40, 3), dtype=np.uint8) for _ in range(3)]
+        out = detector.detect_batch(imgs)
+        assert len(out) == 3  # padded executable, trimmed results
+        assert ("batch", 4, 64) in detector._detect_fns
+
+    def test_detect_batch_score_threshold(self, detector, rng):
+        img = rng.integers(0, 255, (64, 64, 3), dtype=np.uint8)
+        full = detector.detect_batch([img])[0]
+        if len(full["scores"]) == 0:
+            pytest.skip("no detections from random net")
+        t = float(np.median(full["scores"]))
+        cut = detector.detect_batch([img], score_threshold=t)[0]
+        assert (cut["scores"] >= t).all()
+
     def test_warmup_compiles_buckets(self, detector):
         detector.warmup(buckets=(64, 128))
         assert {64, 128} <= set(detector._detect_fns)

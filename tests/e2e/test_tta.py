@@ -77,6 +77,16 @@ class TestTTA:
                 got[k]["scores"], want["scores"], rtol=1e-6
             )
 
+    def test_oversized_image_no_crash(self, runner, rng):
+        """Images larger than the biggest bucket must round the canvas up
+        and cap variant scales, not crash or truncate."""
+        img = rng.integers(0, 255, (200, 150, 3), dtype=np.uint8)  # > 128
+        out = runner.detect_tta(img)
+        assert "bboxes" in out
+        # And through the dataset runner too.
+        got = runner.run_dataset([("e/big", img)])
+        assert "e/big" in got
+
     def test_flip_symmetric_image_consistency(self, runner, rng):
         """On a horizontally symmetric image, TTA must not error and flip
         variants contribute (smoke only; exact symmetry needs trained net)."""

@@ -49,6 +49,18 @@ class TestImageEval:
         np.testing.assert_array_equal(pred_recall, [0])
         np.testing.assert_array_equal(proposal, [0])  # excluded from precision
 
+    def test_every_det_on_ignored_gt_excluded(self):
+        """Official rule: ALL dets whose argmax gt is outside the subset are
+        excluded from the proposal pool, not just the first match."""
+        gts = np.array([[0, 0, 10, 10]], np.float64)
+        dets = np.array(
+            [[0, 0, 10, 10, 0.9], [1, 1, 11, 11, 0.8], [0, 1, 10, 11, 0.7]],
+            np.float64,
+        )
+        pred_recall, proposal = _image_eval(dets, gts, np.zeros(0, np.int64))
+        np.testing.assert_array_equal(pred_recall, [0, 0, 0])
+        np.testing.assert_array_equal(proposal, [0, 0, 0])
+
     def test_double_detection_is_fp(self):
         gts = np.array([[0, 0, 10, 10]], np.float64)
         dets = np.array(

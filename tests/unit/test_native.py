@@ -52,11 +52,11 @@ class TestNative:
             for i in range(n):
                 if m:
                     j = int(np.argmax(overlaps[i]))
-                    if overlaps[i, j] >= 0.5 and not matched[j]:
-                        matched[j] = True
+                    if overlaps[i, j] >= 0.5:
                         if ignore[j]:
                             want_prop[i] = 0
-                        else:
+                        elif not matched[j]:
+                            matched[j] = True
                             rec += 1
                 want_pr[i] = rec
             np.testing.assert_array_equal(got[0], want_pr)

@@ -93,3 +93,22 @@ class TestBlockedNMSParity:
             score_threshold=0.0, interpret=True,
         )
         assert not np.asarray(got.valid).any()
+
+    @pytest.mark.parametrize("kernel", [greedy_nms_pallas, greedy_nms_blocked])
+    def test_max_out_exceeds_input(self, kernel):
+        """Drop-in contract: max_out > N must zero-pad like the XLA twin,
+        not crash in top_k."""
+        rng = np.random.default_rng(9)
+        boxes = _random_boxes(rng, 20)
+        scores = np.sort(rng.uniform(0.1, 1.0, 20).astype(np.float32))[::-1].copy()
+        got = kernel(
+            jnp.asarray(boxes), jnp.asarray(scores), 0.3, 750, interpret=True
+        )
+        want = greedy_nms(jnp.asarray(boxes), jnp.asarray(scores), 0.3, 750)
+        assert got.boxes.shape == (750, 4)
+        np.testing.assert_array_equal(
+            np.asarray(got.valid), np.asarray(want.valid)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(got.indices), np.asarray(want.indices)
+        )
