@@ -41,12 +41,17 @@ def save_train_state(root: str, step: int, state: Any) -> str:
 
 
 def latest_step(root: str) -> Optional[int]:
+    """Latest COMPLETE checkpoint step.  Only exact 'step_<digits>' dirs
+    count — a preempted save leaves Orbax temp dirs
+    ('step_N.orbax-checkpoint-tmp...') that must not break resume."""
+    import re
+
     if not os.path.isdir(root):
         return None
     steps = [
-        int(d.split("_")[1])
+        int(m.group(1))
         for d in os.listdir(root)
-        if d.startswith("step_") and not d.endswith(".tmp")
+        if (m := re.fullmatch(r"step_(\d+)", d))
     ]
     return max(steps) if steps else None
 

@@ -58,9 +58,19 @@ NAME_RULES: List[Tuple[str, Tuple[str, str, str]]] = [
 _LEAF = {"weights": "kernel", "biases": "bias"}
 
 
+_SKIP_EXACT = {
+    "global_step",
+    "beta1_power",
+    "beta2_power",
+    "save_counter",
+}
+
+
 def _strip_name(name: str) -> str:
-    """Drop optimizer slots and surrounding scopes that don't carry identity."""
+    """Drop optimizer slots and bookkeeping vars that don't carry identity."""
     name = name.split(":")[0]
+    if name in _SKIP_EXACT:
+        return ""
     for suffix in ("/Momentum", "/ExponentialMovingAverage", "/Adam", "/Adam_1"):
         if name.endswith(suffix):
             return ""  # optimizer slot — skip
@@ -91,7 +101,10 @@ def load_tf_checkpoint(
 
     Missing model params keep fresh random init (warm-start semantics of the
     reference's `get_init_fn_for_scaffold` [K]); unmapped ckpt vars are
-    reported.  strict=True raises if any model param is missing.
+    reported.  strict=True raises if any MODEL param was left unplaced (the
+    checkpoint didn't fully cover the detector) or any shape mismatched —
+    unmapped checkpoint-side extras alone never fail strict mode (TF1 ckpts
+    always carry bookkeeping vars).
     """
     import tensorflow as tf  # TF 2.21 available for ckpt reading [SURVEY §3.4]
 
@@ -105,11 +118,12 @@ def load_tf_checkpoint(
     params = init_detector_params(jax.random.PRNGKey(0), model_config)
     params = jax.tree_util.tree_map(np.asarray, params)
 
-    placed, unmapped, mismatched = [], [], []
+    placed, unmapped, mismatched = set(), [], []
     for var_name in sorted(shapes):
         target = map_tf_name(var_name)
         if target is None:
-            unmapped.append(var_name)
+            if _strip_name(var_name):  # bookkeeping vars skip silently
+                unmapped.append(var_name)
             continue
         section, layer, leaf = target
         try:
@@ -125,20 +139,31 @@ def load_tf_checkpoint(
                 continue
             value = adapted
         params[section][layer][leaf] = value.astype(dst.dtype)
-        placed.append(var_name)
+        placed.add((section, layer, leaf))
 
+    missing = [
+        f"{section}/{layer}/{leaf}"
+        for section, layers in params.items()
+        for layer, leaves in layers.items()
+        for leaf in leaves
+        if (section, layer, leaf) not in placed
+    ]
     if verbose:
         print(
-            f"[tf_import] placed {len(placed)} vars; "
-            f"{len(unmapped)} unmapped; {len(mismatched)} shape-mismatched"
+            f"[tf_import] placed {len(placed)} params; "
+            f"{len(missing)} model params left at init; "
+            f"{len(unmapped)} ckpt vars unmapped; "
+            f"{len(mismatched)} shape-mismatched"
         )
         for v in unmapped[:20]:
             print(f"[tf_import]   unmapped: {v}")
+        for v in missing[:20]:
+            print(f"[tf_import]   missing: {v}")
         for v, got, want in mismatched[:20]:
             print(f"[tf_import]   mismatch: {v} ckpt{got} != model{want}")
-    if strict and (unmapped or mismatched):
+    if strict and (missing or mismatched):
         raise ValueError(
-            f"strict import failed: {len(unmapped)} unmapped, "
+            f"strict import failed: {len(missing)} model params unplaced, "
             f"{len(mismatched)} mismatched"
         )
     return jax.tree_util.tree_map(jnp.asarray, params)
@@ -208,14 +233,7 @@ def export_tf_checkpoint(params: Dict, ckpt_prefix: str) -> None:
             kind = "weights" if leaf == "kernel" else "biases"
             tf_vars[f"lfpn/{parts[1]}/{tap}/{kind}"] = np.asarray(arr)
 
-    ckpt = tf.train.Checkpoint(
-        **{
-            name.replace("/", "__S__"): tf.Variable(v)
-            for name, v in tf_vars.items()
-        }
-    )
-    # tf.train.Checkpoint mangles names; write a V1-style ckpt instead via
-    # raw saver for faithful names.
+    # V1-style ckpt via the raw Saver for faithful (slim-style) names.
     with tf.compat.v1.Graph().as_default():
         variables = [
             tf.compat.v1.get_variable(

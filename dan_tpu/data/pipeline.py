@@ -93,12 +93,26 @@ def _collate(samples: Sequence[Dict[str, np.ndarray]]) -> Dict[str, np.ndarray]:
     return {k: np.stack([s[k] for s in samples]) for k in samples[0]}
 
 
+def _put_or_stop(q, item, stop) -> bool:
+    """put() that keeps checking the stop flag so a closed consumer can't
+    strand the worker (and its device-resident payload) forever."""
+    while not stop.is_set():
+        try:
+            q.put(item, timeout=0.5)
+            return True
+        except queue.Full:
+            continue
+    return False
+
+
 def device_prefetch(host_batches, mesh, depth: int = 2):
     """Overlap host batch production + H2D transfer with device compute.
 
     Wraps an iterator of host batches into an iterator of device-resident
     sharded batches, transferring `depth` batches ahead on a background
     thread (the reference's tf.data prefetch-to-device equivalent).
+    Worker exceptions propagate to the consumer (they must not read as a
+    clean end-of-stream).
     """
     from dan_tpu.parallel.mesh import shard_batch
 
@@ -111,9 +125,11 @@ def device_prefetch(host_batches, mesh, depth: int = 2):
             for hb in host_batches:
                 if stop.is_set():
                     return
-                q.put(shard_batch(hb, mesh))
-        finally:
-            q.put(_END)
+                if not _put_or_stop(q, shard_batch(hb, mesh), stop):
+                    return
+            _put_or_stop(q, _END, stop)
+        except BaseException as e:  # propagate, don't die silently
+            _put_or_stop(q, e, stop)
 
     t = threading.Thread(target=worker, daemon=True)
     t.start()
@@ -122,6 +138,8 @@ def device_prefetch(host_batches, mesh, depth: int = 2):
             item = q.get()
             if item is _END:
                 return
+            if isinstance(item, BaseException):
+                raise item
             yield item
     finally:
         stop.set()
@@ -179,12 +197,12 @@ class TrainPipeline:
                     ]
                     batch = _collate([f.result() for f in futures])
                     step += 1
-                    while not stop.is_set():
-                        try:
-                            q.put(batch, timeout=0.5)
-                            break
-                        except queue.Full:
-                            continue
+                    if not _put_or_stop(q, batch, stop):
+                        return
+            except BaseException as e:
+                # A corrupt/missing JPEG must surface in the consumer, not
+                # silently kill this thread and hang training on q.get().
+                _put_or_stop(q, e, stop)
             finally:
                 pool.shutdown(wait=False)
 
@@ -192,7 +210,10 @@ class TrainPipeline:
         t.start()
         try:
             while True:
-                yield q.get()
+                item = q.get()
+                if isinstance(item, BaseException):
+                    raise item
+                yield item
         finally:
             stop.set()
 

@@ -84,6 +84,8 @@ def convert_to_tfrecords(
             img = cv2.imdecode(
                 np.frombuffer(encoded, np.uint8), cv2.IMREAD_COLOR
             )
+            if img is None:
+                raise ValueError(f"undecodable image: {rec.path}")
             h, w = img.shape[:2]
             example = __import__("tensorflow").train.Example(
                 features=_features(rec, encoded, h, w)

@@ -21,7 +21,12 @@ from dan_tpu.config import ModelConfig
 from dan_tpu.models.heads import heads_forward, init_head_params
 from dan_tpu.models.layers import l2_normalize, l2norm_init
 from dan_tpu.models.lfpn import init_lfpn_params, lfpn_forward
-from dan_tpu.models.vgg import TAP_CHANNELS, TAP_NAMES, init_vgg_params, vgg_forward
+from dan_tpu.models.vgg import (
+    TAP_NAMES,
+    effective_tap_channels,
+    init_vgg_params,
+    vgg_forward,
+)
 
 
 def init_detector_params(key, config: ModelConfig) -> Dict:
@@ -32,7 +37,7 @@ def init_detector_params(key, config: ModelConfig) -> Dict:
         "heads": init_head_params(k_heads, config),
         "l2norm": {},
     }
-    tap_ch = dict(zip(TAP_NAMES, TAP_CHANNELS))
+    tap_ch = dict(zip(TAP_NAMES, effective_tap_channels(config)))
     for name, init in zip(config.l2norm_taps, config.l2norm_init):
         params["l2norm"][name] = l2norm_init(tap_ch[name], init)
     return params

@@ -19,7 +19,7 @@ import jax.numpy as jnp
 
 from dan_tpu.config import ModelConfig
 from dan_tpu.models.layers import conv2d, conv_init
-from dan_tpu.models.vgg import TAP_CHANNELS, TAP_NAMES
+from dan_tpu.models.vgg import TAP_NAMES, effective_tap_channels
 
 
 def _cls_channels(config: ModelConfig, layer_idx: int) -> int:
@@ -31,7 +31,9 @@ def _cls_channels(config: ModelConfig, layer_idx: int) -> int:
 def init_head_params(key, config: ModelConfig) -> Dict:
     params: Dict = {}
     keys = jax.random.split(key, 2 * len(TAP_NAMES))
-    for i, (name, cin) in enumerate(zip(TAP_NAMES, TAP_CHANNELS)):
+    for i, (name, cin) in enumerate(
+        zip(TAP_NAMES, effective_tap_channels(config))
+    ):
         params[f"cls_{name}"] = conv_init(
             keys[2 * i], 3, 3, cin, _cls_channels(config, i)
         )

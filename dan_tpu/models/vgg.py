@@ -37,6 +37,16 @@ TAP_NAMES = ("conv3_3", "conv4_3", "conv5_3", "fc7", "conv6_2", "conv7_2")
 TAP_CHANNELS = (256, 512, 512, 1024, 512, 256)
 
 
+def effective_tap_channels(config: "ModelConfig"):
+    """Tap widths as seen by the heads/L2Norm: the three shallow taps carry
+    the LFPN-fused width (config.lfpn_channels, ordered conv3_3, conv4_3,
+    conv5_3); deep taps pass through unchanged."""
+    ch = dict(zip(TAP_NAMES, TAP_CHANNELS))
+    for name, c in zip(("conv3_3", "conv4_3", "conv5_3"), config.lfpn_channels):
+        ch[name] = c
+    return tuple(ch[n] for n in TAP_NAMES)
+
+
 def init_vgg_params(key, config: ModelConfig) -> Dict:
     """Initialize the full backbone parameter tree."""
     params: Dict = {}

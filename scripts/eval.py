@@ -49,13 +49,17 @@ def main():
     from dan_tpu.eval.writer import load_detection_dir, write_wider_detections
 
     predictions = {}
-    records = load_split(args.wider_root, args.split, keep_invalid=True)
-    if args.limit:
-        records = records[: args.limit]
+    records = []
+    if args.wider_root:
+        records = load_split(args.wider_root, args.split, keep_invalid=True)
+        if args.limit:
+            records = records[: args.limit]
 
     if args.score_only:
         predictions = load_detection_dir(args.pred_dir)
     else:
+        if not records:
+            ap.error("--wider_root is required unless --score_only")
         if args.ckpt:
             det = Detector.from_checkpoint(args.ckpt)
         else:
@@ -106,6 +110,8 @@ def main():
     if args.gt_mats:
         gt_boxes, keep_lists, _ = load_official_gt(args.gt_mats)
     else:
+        if not records:
+            ap.error("need --gt_mats or --wider_root for ground truth")
         print(
             "NOTE: no --gt_mats; using height-based difficulty approximation",
             file=sys.stderr,
