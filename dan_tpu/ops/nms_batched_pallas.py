@@ -1,0 +1,148 @@
+"""Natively-batched Pallas greedy NMS.
+
+vmap of the per-image kernel (nms_pallas) serializes B independent greedy
+loops: B x max_out sequential steps.  This kernel runs ALL images' loops in
+lockstep — every op is a (B, N) or (B, 1) vector op (argmax via
+row-max + min-index, 'gather' via masked row reductions), so the serial
+depth stays max_out regardless of batch size.  At batch 16 / N=5120 this is
+the difference between ~16x750 and 750 dependent steps.
+
+Semantics identical to ops.nms.greedy_nms per row (score-descending greedy,
+IoU-strictly-greater suppression, lowest-index ties); parity-tested in
+tests/unit/test_nms_pallas.py.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from dan_tpu.ops.nms import NMSResult
+
+_LANE = 128
+_SUB = 8  # pad the batch dim to the f32 sublane count
+
+
+def _kernel(
+    x1_ref,  # (B, N) VMEM
+    y1_ref,
+    x2_ref,
+    y2_ref,
+    scores_ref,
+    rank_ref,  # (B, N) i32 out: selection order per row, -1 if dropped
+    active_ref,  # (B, N) f32 scratch
+    *,
+    max_out: int,
+    iou_threshold: float,
+    score_threshold: float,
+):
+    b, n = scores_ref.shape
+    scores = scores_ref[:, :]
+    active_ref[:, :] = (scores > score_threshold).astype(jnp.float32)
+    rank_ref[:, :] = jnp.full((b, n), -1, jnp.int32)
+    col = jax.lax.broadcasted_iota(jnp.int32, (b, n), 1)
+
+    x1 = x1_ref[:, :]
+    y1 = y1_ref[:, :]
+    x2 = x2_ref[:, :]
+    y2 = y2_ref[:, :]
+    areas = jnp.maximum(x2 - x1, 0.0) * jnp.maximum(y2 - y1, 0.0)
+
+    def body(i, _):
+        act = active_ref[:, :]
+        masked = jnp.where(act > 0.0, scores, -jnp.inf)
+        best = jnp.max(masked, axis=1, keepdims=True)  # (B, 1)
+        valid = best > -jnp.inf
+        j = jnp.min(
+            jnp.where(masked == best, col, n), axis=1, keepdims=True
+        )  # (B, 1): per-row argmax, lowest-index ties
+        sel = (col == j) & valid  # (B, N)
+        sel_f = sel.astype(jnp.float32)
+        bx1 = jnp.sum(x1 * sel_f, axis=1, keepdims=True)  # (B, 1)
+        by1 = jnp.sum(y1 * sel_f, axis=1, keepdims=True)
+        bx2 = jnp.sum(x2 * sel_f, axis=1, keepdims=True)
+        by2 = jnp.sum(y2 * sel_f, axis=1, keepdims=True)
+        barea = jnp.sum(areas * sel_f, axis=1, keepdims=True)
+
+        ix1 = jnp.maximum(bx1, x1)
+        iy1 = jnp.maximum(by1, y1)
+        ix2 = jnp.minimum(bx2, x2)
+        iy2 = jnp.minimum(by2, y2)
+        inter = jnp.maximum(ix2 - ix1, 0.0) * jnp.maximum(iy2 - iy1, 0.0)
+        union = barea + areas - inter
+        iou = jnp.where(union > 0.0, inter / union, 0.0)
+        suppress = (iou > iou_threshold) | sel
+
+        rank_ref[:, :] = jnp.where(sel, i, rank_ref[:, :])
+        active_ref[:, :] = jnp.where(valid & suppress, 0.0, act)
+        return 0
+
+    jax.lax.fori_loop(0, max_out, body, 0)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("iou_threshold", "max_out", "score_threshold", "interpret"),
+)
+def greedy_nms_pallas_batched(
+    boxes: jnp.ndarray,
+    scores: jnp.ndarray,
+    iou_threshold: float,
+    max_out: int,
+    score_threshold: float = 0.0,
+    interpret: bool = False,
+) -> NMSResult:
+    """Batched greedy NMS: (B, N, 4) boxes + (B, N) scores -> NMSResult with
+    (B, max_out, ...) leaves."""
+    bsz, n = scores.shape
+    b_pad = -(-bsz // _SUB) * _SUB
+    n_pad = -(-max(n, _LANE) // _LANE) * _LANE
+
+    def pad(x, fill):
+        out = jnp.full((b_pad, n_pad), fill, jnp.float32)
+        return out.at[:bsz, :n].set(x.astype(jnp.float32))
+
+    x1 = pad(boxes[..., 0], 0.0)
+    y1 = pad(boxes[..., 1], 0.0)
+    x2 = pad(boxes[..., 2], 0.0)
+    y2 = pad(boxes[..., 3], 0.0)
+    sc = pad(scores, -jnp.inf)
+
+    kernel = functools.partial(
+        _kernel,
+        max_out=max_out,
+        iou_threshold=iou_threshold,
+        score_threshold=score_threshold,
+    )
+    rank = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((b_pad, n_pad), jnp.int32),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 5,
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((b_pad, n_pad), jnp.float32)],
+        interpret=interpret,
+    )(x1, y1, x2, y2, sc)[:bsz, :n]
+
+    # rank -> ordered outputs per row (same trick as nms_pallas).
+    selected = rank >= 0
+    key = jnp.where(selected, max_out - rank, 0)
+    k_top = min(max_out, n)
+    top_key, idx = jax.lax.top_k(key, k_top)  # (B, k_top)
+    if k_top < max_out:
+        padn = max_out - k_top
+        top_key = jnp.concatenate(
+            [top_key, jnp.zeros((bsz, padn), top_key.dtype)], axis=1
+        )
+        idx = jnp.concatenate([idx, jnp.zeros((bsz, padn), idx.dtype)], axis=1)
+    valid = top_key > 0
+    idx = jnp.minimum(idx, n - 1)
+    take = jax.vmap(lambda b_, i_: b_[i_])
+    return NMSResult(
+        boxes=jnp.where(valid[..., None], take(boxes, idx), 0.0),
+        scores=jnp.where(valid, take(scores, idx), 0.0),
+        indices=jnp.where(valid, idx, -1).astype(jnp.int32),
+        valid=valid,
+    )

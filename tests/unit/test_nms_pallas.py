@@ -6,6 +6,7 @@ import pytest
 import jax.numpy as jnp
 
 from dan_tpu.ops.nms import greedy_nms, topk_select
+from dan_tpu.ops.nms_batched_pallas import greedy_nms_pallas_batched
 from dan_tpu.ops.nms_blocked_pallas import greedy_nms_blocked
 from dan_tpu.ops.nms_pallas import greedy_nms_pallas
 
@@ -112,3 +113,34 @@ class TestBlockedNMSParity:
         np.testing.assert_array_equal(
             np.asarray(got.indices), np.asarray(want.indices)
         )
+
+
+class TestBatchedNMSParity:
+    def test_vs_per_image(self):
+        rng = np.random.default_rng(11)
+        B, N = 5, 150
+        boxes = np.zeros((B, N, 4), np.float32)
+        scores = np.zeros((B, N), np.float32)
+        for b in range(B):
+            boxes[b] = _random_boxes(rng, N)
+            scores[b] = rng.uniform(0.01, 1.0, N)
+        got = greedy_nms_pallas_batched(
+            jnp.asarray(boxes), jnp.asarray(scores), 0.4, 25, interpret=True
+        )
+        for b in range(B):
+            want = greedy_nms(jnp.asarray(boxes[b]), jnp.asarray(scores[b]), 0.4, 25)
+            np.testing.assert_array_equal(
+                np.asarray(got.indices[b]), np.asarray(want.indices)
+            )
+            np.testing.assert_array_equal(
+                np.asarray(got.valid[b]), np.asarray(want.valid)
+            )
+
+    def test_max_out_exceeds_n(self):
+        rng = np.random.default_rng(12)
+        boxes = np.stack([_random_boxes(rng, 20) for _ in range(3)])
+        scores = rng.uniform(0.1, 1.0, (3, 20)).astype(np.float32)
+        got = greedy_nms_pallas_batched(
+            jnp.asarray(boxes), jnp.asarray(scores), 0.3, 100, interpret=True
+        )
+        assert got.boxes.shape == (3, 100, 4)
