@@ -32,8 +32,28 @@ from dan_tpu.box.decode import decode_boxes
 from dan_tpu.config import DANConfig
 from dan_tpu.models.detector import detector_forward
 from dan_tpu.ops.bbox_vote import bbox_vote
-from dan_tpu.ops.postprocess import _on_tpu, score_filter_topk_nms
+from dan_tpu.ops.nms import greedy_nms
+from dan_tpu.ops.postprocess import _on_tpu
 from dan_tpu.ops.preprocess import normalize_image
+
+
+def _batched_nms(boxes_k, scores_k, post_config):
+    """Batched greedy NMS over (V, K, 4)/(V, K): the lockstep Pallas kernel
+    on TPU, vmapped XLA elsewhere — identical results (parity-tested)."""
+    if post_config.use_pallas_nms and _on_tpu():
+        from dan_tpu.ops.nms_batched_pallas import greedy_nms_pallas_batched
+
+        return greedy_nms_pallas_batched(
+            boxes_k,
+            scores_k,
+            post_config.nms_iou_threshold,
+            post_config.max_detections,
+        )
+    return jax.vmap(
+        lambda b, s: greedy_nms(
+            b, s, post_config.nms_iou_threshold, post_config.max_detections
+        )
+    )(boxes_k, scores_k)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -117,7 +137,10 @@ class TTARunner:
         cfg = self.config
         anchors = jnp.asarray(generate_anchors_np(cfg.anchors, bucket, bucket))
 
-        def one(params, canvas_u8, src_h, src_w, scale, flip):
+        def prep(params, canvas_u8, src_h, src_w, scale, flip):
+            """Per-variant forward + decode + filter + top-k (vmapped);
+            greedy NMS runs afterwards as ONE batched kernel so the serial
+            loops of all variants execute in lockstep."""
             c = canvas_u8.shape[1]
             img = canvas_u8.astype(jnp.float32)
             img_f = img[:, ::-1, :]
@@ -145,31 +168,51 @@ class TTARunner:
             boxes = decode_boxes(
                 loc_preds[0], anchors, cfg.anchors.prior_scaling, out_h, out_w
             )
-            res = score_filter_topk_nms(boxes, scores, cfg.postprocess)
+            bw = boxes[:, 2] - boxes[:, 0]
+            bh = boxes[:, 3] - boxes[:, 1]
+            keep = (
+                (scores >= cfg.postprocess.score_threshold)
+                & (bw > 1.0)
+                & (bh > 1.0)
+            )
+            scores = jnp.where(keep, scores, 0.0)
+            from dan_tpu.ops.nms import topk_select
+
+            boxes_k, scores_k = topk_select(
+                boxes, scores, cfg.postprocess.pre_nms_topk
+            )
+            return boxes_k, scores_k, out_w
+
+        def vmapped(params, canvas_u8, src_h, src_w, scale, flip):
+            boxes_k, scores_k, out_w = jax.vmap(
+                prep, in_axes=(None, 0, 0, 0, 0, 0)
+            )(params, canvas_u8, src_h, src_w, scale, flip)
+            res = _batched_nms(boxes_k, scores_k, cfg.postprocess)
             # Un-mirror, then map back to original pixels.
-            x1 = jnp.where(flip, out_w - res.boxes[:, 2], res.boxes[:, 0])
-            x2 = jnp.where(flip, out_w - res.boxes[:, 0], res.boxes[:, 2])
+            flip_c = flip[:, None]
+            ow = out_w[:, None]
+            x1 = jnp.where(flip_c, ow - res.boxes[..., 2], res.boxes[..., 0])
+            x2 = jnp.where(flip_c, ow - res.boxes[..., 0], res.boxes[..., 2])
             out_boxes = (
-                jnp.stack([x1, res.boxes[:, 1], x2, res.boxes[:, 3]], -1)
-                / scale
+                jnp.stack([x1, res.boxes[..., 1], x2, res.boxes[..., 3]], -1)
+                / scale[:, None, None]
             )
             return out_boxes, res.scores, res.valid
-
-        vmapped = jax.vmap(one, in_axes=(None, 0, 0, 0, 0, 0))
         if mesh is not None:
-            from dan_tpu.parallel.mesh import batch_sharding, replicated
+            # shard_map (not pjit auto-sharding): the batched Pallas NMS has
+            # no SPMD partitioning rule, so each chip must run the kernel on
+            # its local (batch/n_chips) shard explicitly.
+            from jax.sharding import PartitionSpec as P
 
+            data = self.config.mesh.data_axis
             fn = jax.jit(
-                vmapped,
-                in_shardings=(
-                    replicated(mesh),
-                    batch_sharding(mesh),
-                    batch_sharding(mesh),
-                    batch_sharding(mesh),
-                    batch_sharding(mesh),
-                    batch_sharding(mesh),
-                ),
-                out_shardings=batch_sharding(mesh),
+                jax.shard_map(
+                    vmapped,
+                    mesh=mesh,
+                    in_specs=(P(), P(data), P(data), P(data), P(data), P(data)),
+                    out_specs=P(data),
+                    check_vma=False,
+                )
             )
         else:
             fn = jax.jit(vmapped)
