@@ -27,9 +27,31 @@ def save_params(path: str, params: Any) -> None:
 
 
 def restore_params(path: str, config: Optional[DANConfig] = None) -> Any:
-    """Restore a parameter pytree saved by save_params."""
+    """Restore a parameter pytree.
+
+    Accepts any of:
+      * a dir written by save_params (contains 'params/');
+      * a train model_dir (contains 'step_NNNNNNNN/' TrainState saves —
+        the latest one's .params is extracted);
+      * a direct TrainState step dir.
+    So `eval.py --ckpt <model_dir>` works straight off a training run.
+    """
+    path = os.path.abspath(path)
+    if os.path.isdir(os.path.join(path, "params")):
+        with _checkpointer() as ckptr:
+            return ckptr.restore(os.path.join(path, "params"))
+    step = latest_step(path)
+    if step is not None:
+        path = os.path.join(path, f"step_{step:08d}")
     with _checkpointer() as ckptr:
-        return ckptr.restore(os.path.abspath(os.path.join(path, "params")))
+        state = ckptr.restore(path)
+    if isinstance(state, dict) and "params" in state:
+        return state["params"]
+    # orbax restores NamedTuples as sequences/dicts depending on save form;
+    # TrainState order is (params, opt_state, step).
+    if isinstance(state, (list, tuple)) and len(state) == 3:
+        return state[0]
+    return state
 
 
 def save_train_state(root: str, step: int, state: Any) -> str:

@@ -134,6 +134,26 @@ class TestDetectorAPI:
 
 
 class TestCheckpointRoundtrip:
+    def test_from_checkpoint_train_model_dir(self, detector, rng, tmp_path):
+        """eval/demo can point --ckpt straight at a training model_dir:
+        restore_params extracts .params from the latest TrainState."""
+        import jax
+
+        from dan_tpu.ckpt.orbax_io import save_train_state
+        from dan_tpu.train.loop import TrainState
+
+        state = TrainState(
+            params=detector.params,
+            opt_state={"dummy": np.zeros(3)},
+            step=np.int32(7),
+        )
+        save_train_state(str(tmp_path), 7, state)
+        det2 = Detector.from_checkpoint(str(tmp_path), detector.config)
+        img = rng.integers(0, 255, (64, 64, 3), dtype=np.uint8)
+        a = detector.detect(img)
+        b = det2.detect(img)
+        np.testing.assert_array_equal(a["bboxes"], b["bboxes"])
+
     def test_orbax_save_load_same_detections(self, detector, rng, tmp_path):
         from dan_tpu.ckpt.orbax_io import restore_params, save_params
 
