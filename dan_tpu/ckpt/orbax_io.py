@@ -46,12 +46,26 @@ def restore_params(path: str, config: Optional[DANConfig] = None) -> Any:
     with _checkpointer() as ckptr:
         state = ckptr.restore(path)
     if isinstance(state, dict) and "params" in state:
-        return state["params"]
+        return _checked_params(state["params"], path)
     # orbax restores NamedTuples as sequences/dicts depending on save form;
     # TrainState order is (params, opt_state, step).
     if isinstance(state, (list, tuple)) and len(state) == 3:
-        return state[0]
+        return _checked_params(state[0], path)
     return state
+
+
+def _checked_params(tree: Any, path: str) -> Any:
+    """Guard the positional TrainState fallback: a field reorder/addition
+    would silently hand back the wrong subtree as `params`."""
+    expected = {"backbone", "heads", "lfpn", "l2norm"}
+    if not (isinstance(tree, dict) and expected <= set(tree)):
+        raise ValueError(
+            f"checkpoint at {path} did not yield a detector param tree "
+            f"(want keys >= {sorted(expected)}, got "
+            f"{sorted(tree) if isinstance(tree, dict) else type(tree)}); "
+            "restore with restore_train_state(abstract_state) instead"
+        )
+    return tree
 
 
 def save_train_state(root: str, step: int, state: Any) -> str:

@@ -146,6 +146,14 @@ class PreprocessConfig:
     saturation_range: Tuple[float, float] = (0.5, 1.5)
     hue_max_delta: float = 0.2
     color_distort_prob: float = 0.5
+    # Op-order policy for color distortion.  'fixed' (default): one
+    # brightness->saturation->hue->contrast pass (branchless, one HSV
+    # roundtrip — the TPU-native formulation).  'reference': the tf.slim
+    # `distort_color` behavior of sampling one of 4 op orderings per image
+    # [K — inception/ssd_preprocessing template; verify DAN uses num_cases=4
+    # when the mount appears].  Under vmap the switch computes all four
+    # branches, ~4x the elementwise cost — parity runs only.
+    color_distort_order: str = "fixed"
     flip_prob: float = 0.5
     # Drop gt boxes whose center falls outside the crop / degenerate boxes.
     min_box_size: float = 1.0  # pixels at the sampled scale [?]
@@ -171,16 +179,32 @@ class TTAConfig:
     """S3FD TTA protocol [B: image-pyramid + horizontal-flip]."""
 
     # Base shrink: min(1, sqrt(max_pixels / (h*w))) [K].
-    max_pixels: float = 0.2e6 * 2.1  # S3FD uses a ~0.42MP budget [?]
+    # The family's released eval scripts derive the budget from a GPU/caffe
+    # blob-size limit (S3FD: 0x7fffffff/577 ≈ 3.7MP; other forks use
+    # 0.2-1MP); 0.42MP is tuned so the median WIDER val image (~0.75MP,
+    # 1024px wide) shrinks to a det0 extent of ~760px (the 896 bucket) —
+    # one bucket smaller and small-face recall drops, one larger and every
+    # det0 pass pays 1280² compute.  [?] verify against the reference's
+    # max_im_shrink formula when the mount appears.
+    max_pixels: float = 0.42e6
     # Multi-scale test factors [K — verify list].
     scales: Tuple[float, ...] = (0.5, 0.75, 1.25, 1.5, 1.75)
     extra_scale_small_images: float = 2.0
-    # st > 1 passes keep only small boxes; st < 1 only large ones [K].
+    # Enlarging passes keep only small boxes; shrinking passes only large
+    # ones [K].  Thresholds are in original-image pixels.
     small_box_max_size: float = 100.0
     large_box_min_size: float = 30.0
+    # Gate measure [?]: 'sqrt_area' gates on sqrt(w*h) with inclusive
+    # bounds; 'side' is the S3FD released-code rule (enlarged passes keep
+    # min-side+1 < 100, shrunk passes keep max-side+1 > 30, strict).
+    gate_measure: str = "sqrt_area"
     enable_flip: bool = True
     # Fixed resolution buckets (square, padded) for compile-once execution.
-    buckets: Tuple[int, ...] = (256, 384, 512, 640, 896, 1280, 1792)
+    # WIDER images are 1024px wide: det0 after the 0.42MP shrink lands in
+    # 896/1280; the largest scaled extent is the 2.0 extra pass on small
+    # (h <= 410) images = 2048 — the 2048 bucket exists so that pass is not
+    # silently capped (it was capped to 1792 in round 1).
+    buckets: Tuple[int, ...] = (256, 384, 512, 640, 896, 1280, 1792, 2048)
 
 
 @dataclasses.dataclass(frozen=True)

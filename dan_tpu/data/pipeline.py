@@ -176,7 +176,11 @@ class TrainPipeline:
 
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
-        stop = self._stop
+        # Fresh event per iteration: a previous generator's close() set the
+        # old one, and a producer started against an already-set event would
+        # exit without ever enqueuing (consumer hangs on q.get() forever).
+        # Generators still holding the old event keep seeing it set.
+        self._stop = stop = threading.Event()
 
         def producer():
             pool = ThreadPoolExecutor(max_workers=self.num_workers)

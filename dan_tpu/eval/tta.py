@@ -70,11 +70,18 @@ class Variant:
 def plan_variants(h: int, w: int, config: DANConfig) -> List[Variant]:
     """The S3FD TTA schedule for an (h, w) image.
 
+    Gating is keyed on the ABSOLUTE capped scale s = min(st*shrink, cap):
+    s > 1 (the pass enlarges the original image) keeps only small boxes,
+    s < 1 keeps only large ones.  This matches the S3FD released eval
+    code's `if bt > 1` test on the absolute factor, NOT the nominal st —
+    for a large image (shrink < 1) a nominal st = 1.25 whose absolute
+    factor stays below 1 is a shrinking pass and keeps large boxes.  [?]
+    verify against the reference's multi_scale_test when the mount appears.
+
     Every variant's scaled extent is capped to the largest resolution
     bucket — the reference (bucket-free, variable-shape sess.runs) has no
-    such cap, but an uncapped variant would silently truncate the image in
-    a fixed-shape bucket.  The cap only binds for images whose shrunken
-    extent already approaches the largest bucket [?].
+    such cap.  With the 2048 bucket the cap no longer binds for WIDER
+    (1024px-wide) images: the largest pass is 2.0 * 1024 = 2048 exactly.
     """
     tta = config.tta
     cap = max(tta.buckets) / float(max(h, w))
@@ -95,6 +102,27 @@ def plan_variants(h: int, w: int, config: DANConfig) -> List[Variant]:
             gate = Variant(scale=s, flip=False, min_size=tta.large_box_min_size)
         variants.append(gate)
     return variants
+
+
+def variant_gate(
+    boxes: np.ndarray, v: Variant, measure: str = "sqrt_area"
+) -> np.ndarray:
+    """Size gate for one variant's detections, in original-image pixels.
+
+    'sqrt_area': keep sqrt(w*h) in [v.min_size, v.max_size] (inclusive).
+    'side': the S3FD released-code rule — enlarged passes keep boxes with
+    min-side + 1 < max_size (strict), shrunk passes keep max-side + 1 >
+    min_size; the +1 is the legacy inclusive-pixel convention.  [?] — see
+    TTAConfig.gate_measure.
+    """
+    bw = boxes[..., 2] - boxes[..., 0]
+    bh = boxes[..., 3] - boxes[..., 1]
+    if measure == "side":
+        small_ok = (np.minimum(bw, bh) + 1.0) < v.max_size
+        large_ok = (np.maximum(bw, bh) + 1.0) > v.min_size
+        return small_ok & large_ok
+    size = np.sqrt(np.maximum(bh * bw, 0.0))
+    return (size <= v.max_size) & (size >= v.min_size)
 
 
 def pick_bucket(extent: float, buckets: Sequence[int]) -> int:
@@ -277,10 +305,7 @@ class TTARunner:
             scores = np.asarray(scores)
             valid = np.asarray(valid)
             for i, v in enumerate(vs):
-                bh = boxes[i, :, 3] - boxes[i, :, 1]
-                bw = boxes[i, :, 2] - boxes[i, :, 0]
-                size = np.sqrt(np.maximum(bh * bw, 0.0))
-                gate = (size <= v.max_size) & (size >= v.min_size)
+                gate = variant_gate(boxes[i], v, self.config.tta.gate_measure)
                 all_boxes.append(boxes[i])
                 all_scores.append(scores[i])
                 all_valid.append(valid[i] & gate)
@@ -355,10 +380,9 @@ class TTARunner:
                 scores = np.asarray(scores)
                 valid = np.asarray(valid)
                 for i, (key, v, _, _, _) in enumerate(part):
-                    bh = boxes[i, :, 3] - boxes[i, :, 1]
-                    bw = boxes[i, :, 2] - boxes[i, :, 0]
-                    size = np.sqrt(np.maximum(bh * bw, 0.0))
-                    gate = (size <= v.max_size) & (size >= v.min_size)
+                    gate = variant_gate(
+                        boxes[i], v, self.config.tta.gate_measure
+                    )
                     per_key[key].append(
                         (boxes[i], scores[i], valid[i] & gate)
                     )

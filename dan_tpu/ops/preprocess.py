@@ -85,21 +85,40 @@ def hsv_to_rgb(hsv: jnp.ndarray) -> jnp.ndarray:
 # ---------------------------------------------------------------------------
 
 
+# The tf.slim `distort_color` (fast_mode=False) op orderings [K —
+# inception/ssd_preprocessing template; verify DAN's num_cases when the
+# mount appears].  Op ids: 0 brightness, 1 saturation, 2 hue, 3 contrast.
+_REFERENCE_ORDERINGS = (
+    (0, 1, 2, 3),  # brightness, saturation, hue, contrast
+    (1, 0, 3, 2),  # saturation, brightness, contrast, hue
+    (3, 2, 0, 1),  # contrast, hue, brightness, saturation
+    (2, 1, 3, 0),  # hue, saturation, contrast, brightness
+)
+
+
 def color_distort(
     x: jnp.ndarray, key: jax.Array, cfg: PreprocessConfig
 ) -> jnp.ndarray:
     """Random photometric distortion of an RGB image in [0,1].
 
     Brightness / saturation / hue / contrast with random strengths, gated
-    by cfg.color_distort_prob.  TPU-native formulation: branchless — the
-    gate folds into the random parameters (delta 0 / factor 1 == identity),
-    and saturation+hue share ONE rgb->hsv->rgb roundtrip.  (The reference's
-    tf.image `distort_color` randomizes the op ORDER between two variants
-    [K]; under vmap that lax.cond would compute both variants for every
-    image, doubling the cost for a statistically negligible difference —
-    the fixed order here is brightness, saturation, hue, contrast.)
+    by cfg.color_distort_prob.
+
+    cfg.color_distort_order = 'fixed' (default): TPU-native formulation —
+    branchless, the gate folds into an arithmetic select, and
+    saturation+hue share ONE rgb->hsv->rgb roundtrip, in the fixed order
+    brightness, saturation, hue, contrast.
+
+    'reference': the tf.slim `distort_color` behavior — one of the 4 op
+    orderings chosen per image via lax.switch, each saturation/hue op with
+    its own HSV roundtrip and no intermediate clipping (one final clip to
+    [0,1], matching inception_preprocessing).  Under vmap all 4 branches
+    are computed per image (~4x elementwise cost) — parity runs only.
     """
-    k_gate, k1, k2, k3, k4 = jax.random.split(key, 5)
+    if cfg.color_distort_order == "reference":
+        k_gate, k1, k2, k3, k4, k_order = jax.random.split(key, 6)
+    else:
+        k_gate, k1, k2, k3, k4 = jax.random.split(key, 5)
     delta_b = jax.random.uniform(
         k1, (), minval=-cfg.brightness_max_delta, maxval=cfg.brightness_max_delta
     )
@@ -112,6 +131,42 @@ def color_distort(
     f_con = jax.random.uniform(
         k4, (), minval=cfg.contrast_range[0], maxval=cfg.contrast_range[1]
     )
+    on = jax.random.bernoulli(k_gate, cfg.color_distort_prob)
+
+    if cfg.color_distort_order == "reference":
+        def op_brightness(img):
+            return img + delta_b  # tf.image.adjust_brightness: no clip
+
+        def op_saturation(img):
+            hsv = rgb_to_hsv(jnp.clip(img, 0.0, 1.0))
+            hsv = hsv.at[..., 1].set(jnp.clip(hsv[..., 1] * f_sat, 0.0, 1.0))
+            return hsv_to_rgb(hsv)
+
+        def op_hue(img):
+            hsv = rgb_to_hsv(jnp.clip(img, 0.0, 1.0))
+            hsv = hsv.at[..., 0].set((hsv[..., 0] + delta_h) % 1.0)
+            return hsv_to_rgb(hsv)
+
+        def op_contrast(img):
+            mean = jnp.mean(img, axis=(-3, -2), keepdims=True)
+            return (img - mean) * f_con + mean  # adjust_contrast: no clip
+
+        ops = (op_brightness, op_saturation, op_hue, op_contrast)
+
+        def make_branch(seq):
+            def branch(img):
+                for op_id in seq:
+                    img = ops[op_id](img)
+                return img
+
+            return branch
+
+        idx = jax.random.randint(k_order, (), 0, len(_REFERENCE_ORDERINGS))
+        d = jax.lax.switch(
+            idx, [make_branch(s) for s in _REFERENCE_ORDERINGS], x
+        )
+        d = jnp.clip(d, 0.0, 1.0)
+        return jnp.where(on, d, x)
 
     d = jnp.clip(x + delta_b, 0.0, 1.0)
     hsv = rgb_to_hsv(d)
@@ -121,7 +176,6 @@ def color_distort(
     mean = jnp.mean(d, axis=(-3, -2), keepdims=True)
     d = jnp.clip((d - mean) * f_con + mean, 0.0, 1.0)
     # Exact-identity gate (arithmetic select, no vmapped cond).
-    on = jax.random.bernoulli(k_gate, cfg.color_distort_prob)
     return jnp.where(on, d, x)
 
 

@@ -122,6 +122,10 @@ def main():
         }
         keep_lists = None
     if args.limit:
+        if not records:
+            # --score_only --gt_mats --limit without --wider_root: an empty
+            # record set would intersect gt down to nothing and print AP 0.0.
+            ap.error("--limit needs --wider_root to know which images it keeps")
         gt_boxes = {
             k: v
             for k, v in gt_boxes.items()

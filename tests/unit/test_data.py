@@ -126,6 +126,20 @@ class TestPipeline:
         it = iter(pipe)
         batch = next(it)
         pipe.stop()
+        # Re-iteration after a closed generator must not inherit the set
+        # stop event (it would hang q.get() forever — ADVICE r1 item 1).
+        it.close()
+        import threading
+
+        got = {}
+        it2 = iter(pipe)
+        t = threading.Thread(
+            target=lambda: got.update(batch=next(it2)), daemon=True
+        )
+        t.start()
+        t.join(30)
+        assert "batch" in got, "second iteration hung on a stale stop event"
+        pipe.stop()
         assert batch["canvas"].shape == (4, 128, 128, 3)
         assert batch["canvas"].dtype == np.uint8
         assert batch["boxes"].shape == (4, 8, 4)

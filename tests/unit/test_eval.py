@@ -161,3 +161,47 @@ class TestTTAPlan:
         assert pick_bucket(100, (256, 640)) == 256
         assert pick_bucket(500, (256, 640)) == 640
         assert pick_bucket(9999, (256, 640)) == 640
+
+    def test_wider_2x_pass_not_capped(self):
+        # WIDER images are 1024px wide; the 2.0 extra pass on small images
+        # must reach 2048 exactly (round-1 capped it to 1792).
+        variants = plan_variants(400, 1024, self.CFG)
+        assert max(v.scale for v in variants) == 2.0
+
+    def test_variant_gate_measures(self):
+        from dan_tpu.eval.tta import Variant, variant_gate
+
+        boxes = np.array(
+            [
+                [0, 0, 40, 200],  # min side 40, max side 200, sqrt-area ~89
+                [0, 0, 120, 120],  # min side 120, sqrt-area 120
+                [0, 0, 20, 25],  # small box
+            ],
+            np.float64,
+        )
+        small = Variant(scale=2.0, flip=False, max_size=100.0)
+        large = Variant(scale=0.5, flip=False, min_size=30.0)
+        # sqrt_area: gates on sqrt(w*h), inclusive.
+        np.testing.assert_array_equal(
+            variant_gate(boxes, small, "sqrt_area"), [True, False, True]
+        )
+        np.testing.assert_array_equal(
+            variant_gate(boxes, large, "sqrt_area"), [True, True, False]
+        )
+        # side: S3FD released-code rule (min-side+1 < 100 / max-side+1 > 30).
+        np.testing.assert_array_equal(
+            variant_gate(boxes, small, "side"), [True, False, True]
+        )
+        np.testing.assert_array_equal(
+            variant_gate(boxes, large, "side"), [True, True, False]
+        )
+        # A 40x200 sliver separates the two measures from a 90x90 square.
+        sliver_vs_square = np.array([[0, 0, 40, 200], [0, 0, 90, 90]], np.float64)
+        assert list(variant_gate(sliver_vs_square, small, "side")) == [True, True]
+        assert list(variant_gate(sliver_vs_square, small, "sqrt_area")) == [
+            True,
+            True,
+        ]
+        tall = np.array([[0, 0, 80, 260]], np.float64)  # sqrt-area 144, min side 80
+        assert list(variant_gate(tall, small, "sqrt_area")) == [False]
+        assert list(variant_gate(tall, small, "side")) == [True]

@@ -210,3 +210,39 @@ class TestColor:
         cfg = PreprocessConfig(color_distort_prob=0.0)
         out = np.asarray(color_distort(x, jax.random.PRNGKey(0), cfg))
         np.testing.assert_array_equal(out, np.asarray(x))
+
+    def test_reference_order_in_range_and_deterministic(self, rng):
+        x = jnp.asarray(rng.uniform(0, 1, (16, 16, 3)).astype(np.float32))
+        cfg = PreprocessConfig(
+            color_distort_prob=1.0, color_distort_order="reference"
+        )
+        f = jax.jit(lambda im, k: color_distort(im, k, cfg))
+        a = np.asarray(f(x, jax.random.PRNGKey(7)))
+        b = np.asarray(f(x, jax.random.PRNGKey(7)))
+        np.testing.assert_array_equal(a, b)
+        assert (a >= -1e-6).all() and (a <= 1.0 + 1e-6).all()
+        assert not np.allclose(a, np.asarray(x))
+
+    def test_reference_order_samples_multiple_orderings(self, rng):
+        # Different keys must land in different lax.switch branches; with a
+        # hue-only distortion the orderings are distinguishable from 'fixed'
+        # only statistically, so just check vmap works and outputs differ
+        # across keys (i.e. the op ordering machinery runs per image).
+        x = jnp.asarray(rng.uniform(0, 1, (4, 8, 8, 3)).astype(np.float32))
+        cfg = PreprocessConfig(
+            color_distort_prob=1.0, color_distort_order="reference"
+        )
+        keys = jax.random.split(jax.random.PRNGKey(3), 4)
+        out = np.asarray(
+            jax.jit(jax.vmap(lambda im, k: color_distort(im, k, cfg)))(x, keys)
+        )
+        assert out.shape == x.shape
+        assert not np.allclose(out[0], out[1])
+
+    def test_reference_order_prob_zero_identity(self, rng):
+        x = jnp.asarray(rng.uniform(0, 1, (8, 8, 3)).astype(np.float32))
+        cfg = PreprocessConfig(
+            color_distort_prob=0.0, color_distort_order="reference"
+        )
+        out = np.asarray(color_distort(x, jax.random.PRNGKey(0), cfg))
+        np.testing.assert_array_equal(out, np.asarray(x))
