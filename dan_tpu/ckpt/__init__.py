@@ -1,4 +1,5 @@
 from dan_tpu.ckpt.orbax_io import (
+    TrainStateSaver,
     latest_step,
     restore_params,
     restore_train_state,
@@ -7,6 +8,7 @@ from dan_tpu.ckpt.orbax_io import (
 )
 
 __all__ = [
+    "TrainStateSaver",
     "latest_step",
     "restore_params",
     "restore_train_state",

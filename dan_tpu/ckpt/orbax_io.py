@@ -9,8 +9,6 @@ from __future__ import annotations
 import os
 from typing import Any, Optional
 
-import jax
-import numpy as np
 import orbax.checkpoint as ocp
 
 from dan_tpu.config import DANConfig
@@ -68,11 +66,49 @@ def _checked_params(tree: Any, path: str) -> Any:
     return tree
 
 
+class TrainStateSaver:
+    """Long-lived ASYNC TrainState saver (SURVEY.md §5: 'Orbax async
+    checkpoint every N steps').
+
+    orbax's StandardCheckpointer is an AsyncCheckpointer: save() blocks only
+    for the device->host staging copy; serialization + directory finalize
+    run on a background thread, so the train step loop keeps dispatching
+    while the previous checkpoint is still being written.  (Round 1 made
+    this synchronous by np.asarray-copying the state on the caller thread
+    and close()-ing — i.e. joining — the checkpointer after every save.)
+
+    latest_step() only counts finalized 'step_N' dirs, so a crash mid-write
+    (orbax tmp dir) never breaks resume.
+    """
+
+    def __init__(self):
+        self._ckptr = ocp.StandardCheckpointer()
+
+    def save(self, root: str, step: int, state: Any) -> str:
+        path = os.path.abspath(os.path.join(root, f"step_{step:08d}"))
+        self._ckptr.save(path, state)
+        return path
+
+    def wait(self) -> None:
+        """Join all outstanding background writes."""
+        self._ckptr.wait_until_finished()
+
+    def close(self) -> None:
+        self._ckptr.close()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+
 def save_train_state(root: str, step: int, state: Any) -> str:
-    """Save a full TrainState under root/step_<N>; returns the path."""
-    path = os.path.abspath(os.path.join(root, f"step_{step:08d}"))
-    with _checkpointer() as ckptr:
-        ckptr.save(path, jax.tree_util.tree_map(np.asarray, state))
+    """Synchronous one-shot TrainState save (tests / scripts that exit
+    immediately after).  Training loops should hold a TrainStateSaver."""
+    with TrainStateSaver() as saver:
+        path = saver.save(root, step, state)
+        saver.wait()
     return path
 
 

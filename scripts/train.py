@@ -59,9 +59,9 @@ def main():
 
     from dan_tpu.config import default_config
     from dan_tpu.ckpt.orbax_io import (
+        TrainStateSaver,
         latest_step,
         restore_train_state,
-        save_train_state,
     )
     from dan_tpu.data.pipeline import TrainPipeline
     from dan_tpu.data.synthetic import synthetic_batch
@@ -130,19 +130,23 @@ def main():
     device_iter = device_prefetch(batch_iter, mesh, depth=2)
     logger = MetricsLogger(args.model_dir)
     meter = ThroughputMeter(cfg.train.batch_size, n_chips)
-    with maybe_trace(args.trace_dir):
-        for step in range(start_step, total_steps):
-            state, metrics = step_fn(state, next(device_iter))
-            meter.tick()
-            if (step + 1) % log_every == 0:
-                metrics = {k: float(v) for k, v in metrics.items()}
-                metrics["images_per_sec_per_chip"] = meter.images_per_sec_per_chip
-                logger.log(step + 1, metrics)
-                meter.reset()
-            if (step + 1) % cfg.train.checkpoint_every == 0 or step + 1 == total_steps:
-                path = save_train_state(args.model_dir, step + 1, state)
-                print(f"saved {path}", file=sys.stderr)
-    logger.close()
+    saver = TrainStateSaver()  # async: writes overlap subsequent steps
+    try:
+        with maybe_trace(args.trace_dir):
+            for step in range(start_step, total_steps):
+                state, metrics = step_fn(state, next(device_iter))
+                meter.tick()
+                if (step + 1) % log_every == 0:
+                    metrics = {k: float(v) for k, v in metrics.items()}
+                    metrics["images_per_sec_per_chip"] = meter.images_per_sec_per_chip
+                    logger.log(step + 1, metrics)
+                    meter.reset()
+                if (step + 1) % cfg.train.checkpoint_every == 0 or step + 1 == total_steps:
+                    path = saver.save(args.model_dir, step + 1, state)
+                    print(f"saving {path} (async)", file=sys.stderr)
+    finally:
+        saver.close()  # join outstanding writes before exit
+        logger.close()
 
 
 if __name__ == "__main__":

@@ -6,7 +6,12 @@ import pytest
 
 import jax
 
-from dan_tpu.ckpt.orbax_io import latest_step, restore_train_state, save_train_state
+from dan_tpu.ckpt.orbax_io import (
+    TrainStateSaver,
+    latest_step,
+    restore_train_state,
+    save_train_state,
+)
 from dan_tpu.data.synthetic import synthetic_batch
 from dan_tpu.parallel.mesh import make_mesh, place_replicated, shard_batch
 from dan_tpu.train import create_train_state, make_sharded_train_step
@@ -49,6 +54,35 @@ class TestResume:
         assert int(state3.step) == want_step
         got = np.asarray(state3.params["backbone"]["conv1_1"]["kernel"])
         np.testing.assert_array_equal(got, want)
+
+    def test_async_saver_overlaps_training(self, tmp_path):
+        """TrainStateSaver: the write completes in the background while the
+        step loop keeps mutating state; the checkpoint must capture the
+        state AT save() time, bit-exactly, and restore cleanly."""
+        cfg = tiny_config()
+        mesh = make_mesh()
+        step_fn = make_sharded_train_step(cfg, mesh)
+        state = place_replicated(create_train_state(cfg, jax.random.PRNGKey(0)), mesh)
+        with TrainStateSaver() as saver:
+            state, _ = step_fn(state, shard_batch(synthetic_batch(cfg, 8, seed=0), mesh))
+            want = np.asarray(state.params["backbone"]["conv1_1"]["kernel"])
+            saver.save(str(tmp_path), int(state.step), state)
+            # Keep training (donated-state step mutates buffers) while the
+            # background write is in flight.
+            for i in range(1, 4):
+                state, _ = step_fn(
+                    state, shard_batch(synthetic_batch(cfg, 8, seed=i), mesh)
+                )
+            saver.wait()
+        assert latest_step(str(tmp_path)) == 1
+        abstract = jax.tree_util.tree_map(
+            np.asarray, create_train_state(cfg, jax.random.PRNGKey(0))
+        )
+        restored = restore_train_state(str(tmp_path), abstract)
+        assert int(restored.step) == 1
+        np.testing.assert_array_equal(
+            np.asarray(restored.params["backbone"]["conv1_1"]["kernel"]), want
+        )
 
     def test_no_recompilation_across_steps(self):
         """The train step must compile exactly once for fixed shapes
