@@ -118,6 +118,11 @@ class ModelConfig:
     # bf16 matmul/conv compute with f32 params (TPU-native default).
     compute_dtype: str = "bfloat16"
     param_dtype: str = "float32"
+    # Phase-packed (space-to-depth) conv1 block: mathematically identical
+    # (parity-tested), ~1.7x faster on the 640² low-channel region on v5e —
+    # see models/vgg.py::conv1_block_packed.  Auto-falls back to the
+    # standard path for odd H/W.
+    conv1_packed: bool = True
 
 
 @dataclasses.dataclass(frozen=True)

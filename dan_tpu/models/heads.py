@@ -51,8 +51,25 @@ def heads_forward(
     for i, name in enumerate(TAP_NAMES):
         x = taps[name]
         b = x.shape[0]
-        cls = conv2d(params[f"cls_{name}"], x, activation=False).astype(jnp.float32)
-        loc = conv2d(params[f"loc_{name}"], x, activation=False).astype(jnp.float32)
+        # One conv per layer: cls and loc kernels concatenated along cout at
+        # trace time.  Output channels are independent, so results are
+        # bit-identical to two convs — but head outputs have <=8 channels
+        # vs 128 TPU vector lanes, so halving the number of lane-padded
+        # conv writes halves the head stage's HBM cost (BASELINE.md r2
+        # profile: the stride-4 head writes alone were ~1.3 ms).
+        n_cls = params[f"cls_{name}"]["kernel"].shape[-1]
+        fused = {
+            "kernel": jnp.concatenate(
+                [params[f"cls_{name}"]["kernel"], params[f"loc_{name}"]["kernel"]],
+                axis=-1,
+            ),
+            "bias": jnp.concatenate(
+                [params[f"cls_{name}"]["bias"], params[f"loc_{name}"]["bias"]]
+            ),
+        }
+        out = conv2d(fused, x, activation=False)
+        cls = out[..., :n_cls].astype(jnp.float32)
+        loc = out[..., n_cls:].astype(jnp.float32)
         if i == 0 and config.maxout_bg_size > 1:
             bg = jnp.max(cls[..., : config.maxout_bg_size], axis=-1, keepdims=True)
             cls = jnp.concatenate([bg, cls[..., config.maxout_bg_size :]], axis=-1)

@@ -79,6 +79,9 @@ def vgg_forward(params: Dict, x: jnp.ndarray, config: ModelConfig) -> Dict[str, 
     """
     taps: Dict[str, jnp.ndarray] = {}
     for bi, block in enumerate(VGG_BLOCKS):
+        if bi == 0 and config.conv1_packed and x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0:
+            x = conv1_block_packed(params, x)
+            continue
         for name, _ in block:
             x = conv2d(params[name], x)
             if name in TAP_NAMES:
@@ -92,3 +95,128 @@ def vgg_forward(params: Dict, x: jnp.ndarray, config: ModelConfig) -> Dict[str, 
         x = conv2d(params[f"conv{i}_2"], x, stride=2)
         taps[f"conv{i}_2"] = x
     return taps
+
+
+# ---------------------------------------------------------------------------
+# Phase-packed (space-to-depth) conv1 block — TPU MXU/HBM-layout optimization
+# ---------------------------------------------------------------------------
+#
+# Motivation (BASELINE.md r2 profile): at 640x640 the standard conv1 block is
+# the single most expensive region of the detect graph (~31% of step time)
+# because every tensor has <=64 channels — conv1_1's 3 input channels starve
+# the 128x128 MXU (measured 6.7 TF/s), and 64-channel activations fill only
+# half of the 128 TPU vector lanes, wasting half the HBM bandwidth AND half
+# the MXU output columns on conv1_2 and pool1.
+#
+# TPU-native fix: run the whole block on the half-resolution grid with 2x2
+# pixel phases packed into channels (space-to-depth), so every conv is
+# channel-dense:
+#   pack:     (B, H, W, 3)  -> P (B, H/2, W/2, 12), channel = (ry, rx, c)
+#   conv1_1': 3x3 conv, 12 -> 256 = 4 phases x 64   == conv1_1 exactly
+#   conv1_2': 2x2 conv, 256 -> 256 (per-phase windows), pad 1 on every side
+#   pool1:    max over the 4 phase groups with the per-phase (py, px) output
+#             offsets -> (B, H/2, W/2, 64), i.e. pool1's stride-2 windows ARE
+#             the phases — the 640² activation is never materialized.
+#
+# The packed kernels are built from the UNCHANGED conv1_1/conv1_2 parameters
+# at trace time (a few dozen static .at[].set's on small arrays), so
+# checkpoints, the TF importer, and training are oblivious to the layout.
+# Each original kernel tap maps to exactly one packed slot; the extra slots
+# are zero, so outputs equal the standard path up to f32 accumulation order
+# (parity-tested in tests/unit/test_model.py).
+
+
+def _pack_conv_kernel_s2d2(k: jnp.ndarray) -> jnp.ndarray:
+    """(3, 3, ci, co) -> (3, 3, 4*ci, 4*co) phase-packed SAME-conv kernel.
+
+    Output phase (py, px) of the original stride-1 3x3 conv, evaluated on
+    the (ry, rx)-phase-packed half-res grid: original tap (dy, dx) touches
+    input block offset qy = floor((py+dy-1)/2) in {-1,0,1} at input phase
+    ry = (py+dy-1) mod 2.
+    """
+    _, _, ci, co = k.shape
+    kp = jnp.zeros((3, 3, 4 * ci, 4 * co), k.dtype)
+    for py in range(2):
+        for px in range(2):
+            for dy in range(3):
+                for dx in range(3):
+                    ty, tx = py + dy - 1, px + dx - 1
+                    qy, ry = ty // 2, ty % 2
+                    qx, rx = tx // 2, tx % 2
+                    gi, go = ry * 2 + rx, py * 2 + px
+                    kp = kp.at[
+                        qy + 1,
+                        qx + 1,
+                        gi * ci : (gi + 1) * ci,
+                        go * co : (go + 1) * co,
+                    ].set(k[dy, dx])
+    return kp
+
+
+def _pack_conv_kernel_2x2_phase(k: jnp.ndarray) -> jnp.ndarray:
+    """(3, 3, ci, co) -> (2, 2, 4*ci, 4*co) for the conv1_2' + pool fusion.
+
+    With explicit ((1,1),(1,1)) padding a 2x2 conv output index Y covers
+    input blocks {Y-1, Y}; phase py needs blocks {Y-1+py, Y+py}, i.e. the
+    conv result read at index Y+py — kernel slot s = qy + 1 - py.
+    """
+    _, _, ci, co = k.shape
+    kp = jnp.zeros((2, 2, 4 * ci, 4 * co), k.dtype)
+    for py in range(2):
+        for px in range(2):
+            for dy in range(3):
+                for dx in range(3):
+                    ty, tx = py + dy - 1, px + dx - 1
+                    qy, ry = ty // 2, ty % 2
+                    qx, rx = tx // 2, tx % 2
+                    gi, go = ry * 2 + rx, py * 2 + px
+                    kp = kp.at[
+                        qy + 1 - py,
+                        qx + 1 - px,
+                        gi * ci : (gi + 1) * ci,
+                        go * co : (go + 1) * co,
+                    ].set(k[dy, dx])
+    return kp
+
+
+def space_to_depth2(x: jnp.ndarray) -> jnp.ndarray:
+    """(B, H, W, C) -> (B, H/2, W/2, 4C), channel order (ry, rx, c)."""
+    b, h, w, c = x.shape
+    x = x.reshape(b, h // 2, 2, w // 2, 2, c)
+    return x.transpose(0, 1, 3, 2, 4, 5).reshape(b, h // 2, w // 2, 4 * c)
+
+
+def conv1_block_packed(params: Dict, x: jnp.ndarray) -> jnp.ndarray:
+    """relu(conv1_1) -> relu(conv1_2) -> maxpool2x2/2, phase-packed.
+
+    x: (B, H, W, 3), H and W even.  Returns (B, H/2, W/2, 64) == the
+    standard path's pool1 output (up to f32 accumulation order).
+    """
+    dt = x.dtype
+    p = space_to_depth2(x)  # (B, H/2, W/2, 12)
+
+    k1 = _pack_conv_kernel_s2d2(params["conv1_1"]["kernel"]).astype(dt)
+    b1 = jnp.tile(params["conv1_1"]["bias"], 4).astype(dt)
+    o1 = jax.lax.conv_general_dilated(
+        p, k1, (1, 1), ((1, 1), (1, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    o1 = jax.nn.relu(o1 + b1)  # (B, H/2, W/2, 256): conv1_1 phases
+
+    k2 = _pack_conv_kernel_2x2_phase(params["conv1_2"]["kernel"]).astype(dt)
+    b2 = params["conv1_2"]["bias"].astype(dt)
+    r = jax.lax.conv_general_dilated(
+        o1, k2, (1, 1), ((1, 1), (1, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )  # (B, H/2+1, W/2+1, 256): phase (py, px) valid at offset (py, px)
+    hh, ww = p.shape[1], p.shape[2]
+    co = b2.shape[0]
+    out = None
+    for py in range(2):
+        for px in range(2):
+            g = py * 2 + px
+            phase = jax.nn.relu(
+                r[:, py : py + hh, px : px + ww, g * co : (g + 1) * co] + b2
+            )
+            out = phase if out is None else jnp.maximum(out, phase)
+    return out

@@ -95,3 +95,62 @@ class TestDetector:
         np.testing.assert_allclose(
             gs[8:-8, 9:-8], np.roll(g, 1, axis=1)[8:-8, 9:-8], rtol=0.15, atol=0.15
         )
+
+
+class TestPackedConv1:
+    """Phase-packed conv1 block (models/vgg.py::conv1_block_packed) must be
+    mathematically identical to the standard conv->conv->pool path."""
+
+    def test_block_parity_f32(self, rng):
+        from dan_tpu.models.layers import conv2d, max_pool
+        from dan_tpu.models.vgg import conv1_block_packed, init_vgg_params
+
+        vgg = init_vgg_params(jax.random.PRNGKey(1), MCFG)
+        for h, w in [(64, 64), (48, 80), (34, 62)]:
+            x = jnp.asarray(rng.normal(0, 50, (2, h, w, 3)).astype(np.float32))
+            std = max_pool(conv2d(vgg["conv1_2"], conv2d(vgg["conv1_1"], x)))
+            packed = conv1_block_packed(vgg, x)
+            np.testing.assert_allclose(
+                np.asarray(packed), np.asarray(std), rtol=2e-5, atol=1e-3
+            )
+
+    def test_full_forward_parity(self, rng):
+        import dataclasses
+
+        x = jnp.asarray(rng.normal(0, 50, (2, SIZE, SIZE, 3)).astype(np.float32))
+        p_on = init_detector_params(jax.random.PRNGKey(0), MCFG)
+        cfg_off = dataclasses.replace(MCFG, conv1_packed=False)
+        cls_a, loc_a = jax.jit(
+            lambda p, x: detector_forward(p, x, MCFG)
+        )(p_on, x)
+        cls_b, loc_b = jax.jit(
+            lambda p, x: detector_forward(p, x, cfg_off)
+        )(p_on, x)
+        np.testing.assert_allclose(
+            np.asarray(cls_a), np.asarray(cls_b), rtol=1e-4, atol=2e-3
+        )
+        np.testing.assert_allclose(
+            np.asarray(loc_a), np.asarray(loc_b), rtol=1e-4, atol=2e-3
+        )
+
+    def test_odd_size_falls_back(self, rng):
+        # Odd H/W: packed path must be skipped, not crash.
+        x = jnp.asarray(rng.normal(0, 50, (1, 63, 65, 3)).astype(np.float32))
+        p = init_detector_params(jax.random.PRNGKey(0), MCFG)
+        cls, loc = detector_forward(p, x, MCFG)
+        assert np.isfinite(np.asarray(cls)).all()
+
+    def test_grad_flows_through_packed_kernels(self, rng):
+        from dan_tpu.models.vgg import conv1_block_packed, init_vgg_params
+
+        vgg = init_vgg_params(jax.random.PRNGKey(1), MCFG)
+        x = jnp.asarray(rng.normal(0, 1, (1, 16, 16, 3)).astype(np.float32))
+
+        def loss(k):
+            v = dict(vgg)
+            v["conv1_1"] = {"kernel": k, "bias": vgg["conv1_1"]["bias"]}
+            return jnp.sum(conv1_block_packed(v, x) ** 2)
+
+        g = jax.grad(loss)(vgg["conv1_1"]["kernel"])
+        assert np.isfinite(np.asarray(g)).all()
+        assert float(jnp.abs(g).sum()) > 0.0
