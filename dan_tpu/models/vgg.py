@@ -111,8 +111,9 @@ def vgg_forward(params: Dict, x: jnp.ndarray, config: ModelConfig) -> Dict[str, 
 # TPU-native fix: run the whole block on the half-resolution grid with 2x2
 # pixel phases packed into channels (space-to-depth), so every conv is
 # channel-dense:
-#   pack:     (B, H, W, 3)  -> P (B, H/2, W/2, 12), channel = (ry, rx, c)
-#   conv1_1': 3x3 conv, 12 -> 256 = 4 phases x 64   == conv1_1 exactly
+#   conv1_1': 4x4 stride-2 conv, 3 -> 256 = 4 phases x 64 == conv1_1 with
+#             the space-to-depth folded in (input read once, natural layout;
+#             an explicit packing pass cost 1.8-5.7 ms in measured variants)
 #   conv1_2': 2x2 conv, 256 -> 256 (per-phase windows), pad 1 on every side
 #   pool1:    max over the 4 phase groups with the per-phase (py, px) output
 #             offsets -> (B, H/2, W/2, 64), i.e. pool1's stride-2 windows ARE
@@ -126,29 +127,23 @@ def vgg_forward(params: Dict, x: jnp.ndarray, config: ModelConfig) -> Dict[str, 
 # (parity-tested in tests/unit/test_model.py).
 
 
-def _pack_conv_kernel_s2d2(k: jnp.ndarray) -> jnp.ndarray:
-    """(3, 3, ci, co) -> (3, 3, 4*ci, 4*co) phase-packed SAME-conv kernel.
-
-    Output phase (py, px) of the original stride-1 3x3 conv, evaluated on
-    the (ry, rx)-phase-packed half-res grid: original tap (dy, dx) touches
-    input block offset qy = floor((py+dy-1)/2) in {-1,0,1} at input phase
-    ry = (py+dy-1) mod 2.
+def _pack_conv_kernel_stride2(k: jnp.ndarray) -> jnp.ndarray:
+    """(3, 3, ci, co) -> (4, 4, ci, 4*co): the original stride-1 3x3 conv
+    as ONE stride-2 4x4 conv whose output channels are the 2x2 pixel
+    phases — the space-to-depth packing is folded into the conv itself, so
+    the input is read once in its natural layout and no packing pass ever
+    materializes.  With padding ((1,2),(1,2)) output block Y covers input
+    rows 2Y-1..2Y+2; output phase py's tap dy lands at window row py+dy.
     """
     _, _, ci, co = k.shape
-    kp = jnp.zeros((3, 3, 4 * ci, 4 * co), k.dtype)
+    kp = jnp.zeros((4, 4, ci, 4 * co), k.dtype)
     for py in range(2):
         for px in range(2):
+            go = py * 2 + px
             for dy in range(3):
                 for dx in range(3):
-                    ty, tx = py + dy - 1, px + dx - 1
-                    qy, ry = ty // 2, ty % 2
-                    qx, rx = tx // 2, tx % 2
-                    gi, go = ry * 2 + rx, py * 2 + px
                     kp = kp.at[
-                        qy + 1,
-                        qx + 1,
-                        gi * ci : (gi + 1) * ci,
-                        go * co : (go + 1) * co,
+                        py + dy, px + dx, :, go * co : (go + 1) * co
                     ].set(k[dy, dx])
     return kp
 
@@ -179,13 +174,6 @@ def _pack_conv_kernel_2x2_phase(k: jnp.ndarray) -> jnp.ndarray:
     return kp
 
 
-def space_to_depth2(x: jnp.ndarray) -> jnp.ndarray:
-    """(B, H, W, C) -> (B, H/2, W/2, 4C), channel order (ry, rx, c)."""
-    b, h, w, c = x.shape
-    x = x.reshape(b, h // 2, 2, w // 2, 2, c)
-    return x.transpose(0, 1, 3, 2, 4, 5).reshape(b, h // 2, w // 2, 4 * c)
-
-
 def conv1_block_packed(params: Dict, x: jnp.ndarray) -> jnp.ndarray:
     """relu(conv1_1) -> relu(conv1_2) -> maxpool2x2/2, phase-packed.
 
@@ -193,12 +181,11 @@ def conv1_block_packed(params: Dict, x: jnp.ndarray) -> jnp.ndarray:
     standard path's pool1 output (up to f32 accumulation order).
     """
     dt = x.dtype
-    p = space_to_depth2(x)  # (B, H/2, W/2, 12)
 
-    k1 = _pack_conv_kernel_s2d2(params["conv1_1"]["kernel"]).astype(dt)
+    k1 = _pack_conv_kernel_stride2(params["conv1_1"]["kernel"]).astype(dt)
     b1 = jnp.tile(params["conv1_1"]["bias"], 4).astype(dt)
     o1 = jax.lax.conv_general_dilated(
-        p, k1, (1, 1), ((1, 1), (1, 1)),
+        x, k1, (2, 2), ((1, 2), (1, 2)),
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
     )
     o1 = jax.nn.relu(o1 + b1)  # (B, H/2, W/2, 256): conv1_1 phases
@@ -209,7 +196,7 @@ def conv1_block_packed(params: Dict, x: jnp.ndarray) -> jnp.ndarray:
         o1, k2, (1, 1), ((1, 1), (1, 1)),
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
     )  # (B, H/2+1, W/2+1, 256): phase (py, px) valid at offset (py, px)
-    hh, ww = p.shape[1], p.shape[2]
+    hh, ww = x.shape[1] // 2, x.shape[2] // 2
     co = b2.shape[0]
     out = None
     for py in range(2):
