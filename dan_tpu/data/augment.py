@@ -40,10 +40,13 @@ def sample_data_anchor_crop(
     size_out = float(cfg.train_image_size)
     if len(boxes) == 0:
         # No faces: random window at a random scale covering the image.
+        # The window may exceed the SHORT side of a non-square image; the
+        # offset range then inverts, so sort the bounds (any offset keeping
+        # >=90% of the short side inside the window is equally fine).
         side = float(max(image_h, image_w))
         crop = rng.uniform(0.5, 1.0) * side
-        x0 = rng.uniform(-0.1 * crop, image_w - 0.9 * crop)
-        y0 = rng.uniform(-0.1 * crop, image_h - 0.9 * crop)
+        x0 = rng.uniform(*sorted((-0.1 * crop, image_w - 0.9 * crop)))
+        y0 = rng.uniform(*sorted((-0.1 * crop, image_h - 0.9 * crop)))
         return float(x0), float(y0), float(crop)
 
     # 1. Random face and its scale.

@@ -93,6 +93,17 @@ class TestDataAnchorSampling:
         )
         assert 0 < size <= 640
 
+    def test_no_faces_nonsquare_window_exceeds_short_side(self):
+        # Regression: crop sampled from the LONG side can exceed the short
+        # side of a non-square image; the offset bounds then invert and
+        # rng.uniform raised ValueError (hit by the mini-WIDER soak).
+        rng = np.random.default_rng(3)
+        for _ in range(200):
+            x0, y0, size = sample_data_anchor_crop(
+                rng, np.zeros((0, 4), np.float32), 300, 620, self.CFG
+            )
+            assert 0 < size <= 620
+
 
 def _tiny_config():
     return DANConfig(
