@@ -31,11 +31,14 @@ def smooth_l1(x: jnp.ndarray) -> jnp.ndarray:
 def _rank_desc(values: jnp.ndarray) -> jnp.ndarray:
     """Rank of each element when sorted descending (0 = largest).
 
-    Ties broken by lower index first (stable argsort of -values).
+    Ties broken by lower index first (stable argsort of -values).  The rank
+    array is the INVERSE of the argsort permutation, computed as a second
+    argsort rather than a scatter (`zeros.at[order].set(arange)`): TPU
+    scatters are element-serial and measured 1.6 ms/step at (8, 34125),
+    while a sort is vectorized; the results are identical.
     """
     order = jnp.argsort(-values, stable=True)
-    ranks = jnp.zeros_like(order).at[order].set(jnp.arange(values.shape[0]))
-    return ranks
+    return jnp.argsort(order)
 
 
 def detection_loss(
@@ -59,7 +62,10 @@ def detection_loss(
     labels = jnp.maximum(cls_targets, 0)  # ignore -> bg label (masked out below)
 
     log_probs = jax.nn.log_softmax(cls_logits, axis=-1)  # (B, A, 2)
-    ce = -jnp.take_along_axis(log_probs, labels[..., None], axis=-1)[..., 0]
+    # Two classes: select the labeled log-prob with an elementwise where
+    # instead of take_along_axis (TPU gathers are element-serial and the
+    # gather alone measured 2.7 ms/step at (8, 34125, 2)); same values.
+    ce = -jnp.where(labels == 1, log_probs[..., 1], log_probs[..., 0])
 
     # --- hard-negative mining (per image, fixed shape) ---
     num_pos = jnp.sum(positive, axis=1)  # (B,)
