@@ -33,7 +33,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from dan_tpu.box.anchors import center_to_corner, corner_to_center
+from dan_tpu.box.anchors import center_to_corner
 from dan_tpu.box.matching import MatchTargets, encode_boxes
 from dan_tpu.config import AnchorConfig, MatchConfig
 
@@ -198,6 +198,10 @@ def _assign_kernel(
     gt_kth_idx_ref,  # (1, G) i32
     matched_gt_ref,  # (1, A) i32 out
     matched_aug_ref,  # (1, A) out: augmented best value
+    matched_cx_ref,  # (1, A) out: matched gt center x
+    matched_cy_ref,  # (1, A) out
+    matched_w_ref,  # (1, A) out
+    matched_h_ref,  # (1, A) out
     *,
     scale_comp_iou: float,
 ):
@@ -229,6 +233,25 @@ def _assign_kernel(
     matched_gt_ref[0:1, pl.ds(start, _TILE_A)] = (
         arg.astype(jnp.int32).reshape(1, _TILE_A)
     )
+
+    # Matched gt coordinates selected in-kernel via the one-hot argmax mask
+    # (4 masked reduces over the tile) — a (A, 4) HBM gather here measured
+    # 1.2 ms/step at batch 8 (TPU gathers are element-serial); the values
+    # are bit-identical: f32 sums with exactly one nonzero term, the same
+    # (x1+x2)*0.5 center arithmetic as box.anchors.corner_to_center.
+    sel = col_g == arg  # exactly one true per row (arg is the tie-broken min)
+    gx1 = gt_ref[0:1, :]
+    gy1 = gt_ref[1:2, :]
+    gx2 = gt_ref[2:3, :]
+    gy2 = gt_ref[3:4, :]
+    for ref, val in (
+        (matched_cx_ref, (gx1 + gx2) * 0.5),
+        (matched_cy_ref, (gy1 + gy2) * 0.5),
+        (matched_w_ref, gx2 - gx1),
+        (matched_h_ref, gy2 - gy1),
+    ):
+        picked = jnp.sum(jnp.where(sel, val, 0.0), axis=1)  # (TILE_A,)
+        ref[0:1, pl.ds(start, _TILE_A)] = picked.reshape(1, _TILE_A)
 
 
 @functools.partial(
@@ -302,7 +325,7 @@ def match_anchors_pallas(
     else:
         needs = jnp.zeros((1, g_pad), jnp.float32)
 
-    matched_gt, matched_aug = pl.pallas_call(
+    matched_gt, matched_aug, m_cx, m_cy, m_w, m_h = pl.pallas_call(
         functools.partial(
             _assign_kernel, scale_comp_iou=match_config.scale_comp_iou
         ),
@@ -310,11 +333,14 @@ def match_anchors_pallas(
         out_shape=(
             jax.ShapeDtypeStruct((1, a_pad), jnp.int32),
             jax.ShapeDtypeStruct((1, a_pad), jnp.float32),
+            jax.ShapeDtypeStruct((1, a_pad), jnp.float32),
+            jax.ShapeDtypeStruct((1, a_pad), jnp.float32),
+            jax.ShapeDtypeStruct((1, a_pad), jnp.float32),
+            jax.ShapeDtypeStruct((1, a_pad), jnp.float32),
         ),
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 7,
-        out_specs=(
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
+        out_specs=tuple(
+            pl.BlockSpec(memory_space=pltpu.VMEM) for _ in range(6)
         ),
         interpret=interpret,
     )(anchors_t, gt_t, mask_p, gt_best_anchor, needs, gt_kth, gt_kth_idx)
@@ -332,8 +358,9 @@ def match_anchors_pallas(
     cls_target = jnp.where(positive, 1, jnp.where(ignore, -1, 0)).astype(
         jnp.int32
     )
-    gt_center = corner_to_center(gt_boxes)
-    matched_center = gt_center[matched_gt_a]
+    matched_center = jnp.stack(
+        [m_cx[0, :a], m_cy[0, :a], m_w[0, :a], m_h[0, :a]], axis=-1
+    )
     loc_target = encode_boxes(
         matched_center, anchors_center, anchor_config.prior_scaling
     )

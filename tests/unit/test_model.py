@@ -140,6 +140,33 @@ class TestPackedConv1:
         cls, loc = detector_forward(p, x, MCFG)
         assert np.isfinite(np.asarray(cls)).all()
 
+    def test_packed_grads_match_standard_path(self, rng):
+        """The hand-written _phase_pool VJP must produce the same parameter
+        gradients as autodiff of the standard conv->conv->pool path."""
+        from dan_tpu.models.layers import conv2d, max_pool
+        from dan_tpu.models.vgg import conv1_block_packed, init_vgg_params
+
+        vgg = init_vgg_params(jax.random.PRNGKey(1), MCFG)
+        p = {"conv1_1": vgg["conv1_1"], "conv1_2": vgg["conv1_2"]}
+        x = jnp.asarray(rng.normal(0, 50, (2, 32, 32, 3)).astype(np.float32))
+
+        def loss_std(p):
+            return jnp.sum(
+                max_pool(conv2d(p["conv1_2"], conv2d(p["conv1_1"], x))) ** 2
+            )
+
+        def loss_packed(p):
+            return jnp.sum(conv1_block_packed(p, x) ** 2)
+
+        gs = jax.grad(loss_std)(p)
+        gp = jax.grad(loss_packed)(p)
+        for name in ("conv1_1", "conv1_2"):
+            for leaf in ("kernel", "bias"):
+                a, b = np.asarray(gs[name][leaf]), np.asarray(gp[name][leaf])
+                np.testing.assert_allclose(
+                    a, b, rtol=5e-4, atol=5e-3 * np.abs(a).max()
+                )
+
     def test_grad_flows_through_packed_kernels(self, rng):
         from dan_tpu.models.vgg import conv1_block_packed, init_vgg_params
 
