@@ -21,7 +21,7 @@ from __future__ import annotations
 import queue
 import threading
 from concurrent.futures import ThreadPoolExecutor
-from typing import Dict, Iterator, List, Optional, Sequence
+from typing import Dict, Iterator, List, Optional, Sequence, Tuple
 
 import numpy as np
 
@@ -30,38 +30,44 @@ from dan_tpu.data.augment import sample_data_anchor_crop
 from dan_tpu.data.widerface import ImageRecord, load_image_rgb
 
 
-def _prepare_sample(
+def _window_params(
+    record: ImageRecord, w: int, h: int, c: int, rng
+) -> Tuple[int, int]:
+    """Canvas-window origin for an oversized image: slide the window to
+    contain a random face (host-side CROP is allowed; host-side RESAMPLING
+    is not). (0, 0) when the image fits."""
+    if h <= c and w <= c:
+        return 0, 0
+    boxes = record.boxes
+    if len(boxes):
+        i = int(rng.integers(len(boxes)))
+        cx = float(boxes[i, 0] + boxes[i, 2]) / 2
+        cy = float(boxes[i, 1] + boxes[i, 3]) / 2
+    else:
+        cx, cy = w / 2, h / 2
+    off_x = int(np.clip(cx - c / 2, 0, max(w - c, 0)))
+    off_y = int(np.clip(cy - c / 2, 0, max(h - c, 0)))
+    return off_x, off_y
+
+
+def _finish_sample(
     record: ImageRecord,
     config: DANConfig,
-    seed: int,
-    image: Optional[np.ndarray] = None,
+    rng,
+    off_x: int,
+    off_y: int,
+    w: int,
+    h: int,
 ) -> Dict[str, np.ndarray]:
-    """Decode + pad one record into the batch contract (single sample)."""
-    rng = np.random.default_rng(seed)
-    img = image if image is not None else load_image_rgb(record.path)
+    """Box bookkeeping + crop-parameter sampling for one sample whose
+    canvas pixels are already placed ((w, h) = placed size after the
+    (off_x, off_y) window). Consumes `rng` in the same order for every
+    decode path, so native and fallback batches are bit-identical."""
     c = config.preprocess.canvas_size
-    h, w = img.shape[:2]
     boxes = record.boxes.copy()
-
-    # Oversized image: slide the canvas window to contain a random face
-    # (host-side CROP is allowed; host-side RESAMPLING is not).
-    off_x = off_y = 0
-    if h > c or w > c:
-        if len(boxes):
-            i = int(rng.integers(len(boxes)))
-            cx = float(boxes[i, 0] + boxes[i, 2]) / 2
-            cy = float(boxes[i, 1] + boxes[i, 3]) / 2
-        else:
-            cx, cy = w / 2, h / 2
-        off_x = int(np.clip(cx - c / 2, 0, max(w - c, 0)))
-        off_y = int(np.clip(cy - c / 2, 0, max(h - c, 0)))
-        img = img[off_y : off_y + c, off_x : off_x + c]
-        h, w = img.shape[:2]
+    if off_x or off_y:
         boxes[:, [0, 2]] -= off_x
         boxes[:, [1, 3]] -= off_y
-
-    canvas = np.zeros((c, c, 3), np.uint8)
-    canvas[:h, :w] = img
 
     # Keep boxes whose center survived the canvas window.
     if len(boxes):
@@ -79,7 +85,6 @@ def _prepare_sample(
     out_boxes[:n] = boxes[:n]
     out_mask[:n] = True
     return {
-        "canvas": canvas,
         "crop_x0": np.float32(x0),
         "crop_y0": np.float32(y0),
         "crop_size": np.float32(size),
@@ -87,6 +92,108 @@ def _prepare_sample(
         "mask": out_mask,
         "seed": np.uint32(rng.integers(0, 2**31)),
     }
+
+
+def _prepare_sample(
+    record: ImageRecord,
+    config: DANConfig,
+    seed: int,
+    image: Optional[np.ndarray] = None,
+) -> Dict[str, np.ndarray]:
+    """Decode + pad one record into the batch contract (single sample,
+    Python/cv2 path — the per-image fallback of the native batch decode)."""
+    rng = np.random.default_rng(seed)
+    img = image if image is not None else load_image_rgb(record.path)
+    c = config.preprocess.canvas_size
+    h, w = img.shape[:2]
+    off_x, off_y = _window_params(record, w, h, c, rng)
+    if off_x or off_y or h > c or w > c:
+        img = img[off_y : off_y + c, off_x : off_x + c]
+        h, w = img.shape[:2]
+    canvas = np.zeros((c, c, 3), np.uint8)
+    canvas[:h, :w] = img
+    out = _finish_sample(record, config, rng, off_x, off_y, w, h)
+    out["canvas"] = canvas
+    return out
+
+
+def _prepare_batch_native(
+    records: Sequence[ImageRecord],
+    config: DANConfig,
+    seeds: Sequence[int],
+    nthreads: int,
+    window: str = "crop",
+) -> Optional[Dict[str, np.ndarray]]:
+    """Whole-batch native path: file bytes -> C++ threaded JPEG window
+    decode directly into the (B, C, C, 3) canvas array (zero collation
+    copies, GIL-free decode — the reference's C++ tf.data equivalent).
+
+    window='crop' exploits that the data-anchor crop sampler needs only
+    box METADATA (never pixels): each sample's crop window is drawn first
+    and the decoder reads just that window (+2 px of bilinear margin) —
+    the only canvas region the device-side train_preprocess_one ever
+    samples. window='full' decodes the whole placed image.
+
+    Returns None when the native library is unavailable; any single image
+    the native decoder rejects falls back to the cv2 path in place."""
+    from dan_tpu import native
+
+    if native.load_loader() is None:
+        return None
+    c = config.preprocess.canvas_size
+    n = len(records)
+    bufs = []
+    for r in records:
+        with open(r.path, "rb") as f:
+            bufs.append(f.read())
+
+    # Metadata pass (no pixels): canvas window -> box bookkeeping -> crop
+    # params, consuming each sample's rng in the same order as
+    # _prepare_sample so native and fallback batches are interchangeable.
+    samples: List[Optional[Dict[str, np.ndarray]]] = [None] * n
+    src_x = np.zeros((n,), np.int32)
+    src_y = np.zeros((n,), np.int32)
+    dst_x = np.zeros((n,), np.int32)
+    dst_y = np.zeros((n,), np.int32)
+    win_w = np.zeros((n,), np.int32)
+    win_h = np.zeros((n,), np.int32)
+    for i, (r, b) in enumerate(zip(records, bufs)):
+        wh = native.jpeg_dims(b)
+        if wh is None:  # non-JPEG/corrupt header: full Python fallback
+            continue
+        rng = np.random.default_rng(seeds[i])
+        off_x, off_y = _window_params(r, wh[0], wh[1], c, rng)
+        placed_w = min(c, wh[0] - off_x)
+        placed_h = min(c, wh[1] - off_y)
+        s = _finish_sample(r, config, rng, off_x, off_y, placed_w, placed_h)
+        samples[i] = s
+        if window == "crop":
+            # Decode the crop window +2 px (bilinear halo), clipped to the
+            # placed region; everything else in the slot stays zero.
+            x0 = max(0, int(np.floor(s["crop_x0"])) - 2)
+            y0 = max(0, int(np.floor(s["crop_y0"])) - 2)
+            x1 = min(placed_w, int(np.ceil(s["crop_x0"] + s["crop_size"])) + 2)
+            y1 = min(placed_h, int(np.ceil(s["crop_y0"] + s["crop_size"])) + 2)
+        else:
+            x0, y0, x1, y1 = 0, 0, placed_w, placed_h
+        dst_x[i], dst_y[i] = x0, y0
+        src_x[i], src_y[i] = off_x + x0, off_y + y0
+        win_w[i], win_h[i] = max(0, x1 - x0), max(0, y1 - y0)
+
+    canvases = np.empty((n, c, c, 3), np.uint8)
+    status = native.decode_batch_into(
+        bufs, src_x, src_y, dst_x, dst_y, win_w, win_h, canvases,
+        nthreads=nthreads,
+    )
+    for i, r in enumerate(records):
+        if samples[i] is None or status[i] != 0:
+            # cv2 fallback replays the SAME rng stream from the start.
+            s = _prepare_sample(r, config, seeds[i])
+            canvases[i] = s.pop("canvas")
+            samples[i] = s
+    batch = _collate(samples)
+    batch["canvas"] = canvases
+    return batch
 
 
 def _collate(samples: Sequence[Dict[str, np.ndarray]]) -> Dict[str, np.ndarray]:
@@ -156,6 +263,8 @@ class TrainPipeline:
         seed: int = 0,
         num_workers: int = 8,
         prefetch: int = 2,
+        use_native: bool = True,
+        native_window: str = "crop",
     ):
         if not records:
             raise ValueError("empty dataset")
@@ -165,6 +274,8 @@ class TrainPipeline:
         self.seed = seed
         self.num_workers = num_workers
         self.prefetch = prefetch
+        self.use_native = use_native
+        self.native_window = native_window
         self._stop = threading.Event()
 
     def _index_stream(self) -> Iterator[int]:
@@ -186,20 +297,36 @@ class TrainPipeline:
             pool = ThreadPoolExecutor(max_workers=self.num_workers)
             stream = self._index_stream()
             sample_seed = np.random.default_rng(self.seed).integers(0, 2**31)
+            native_ok = self.use_native
             try:
                 step = 0
                 while not stop.is_set():
                     idxs = [next(stream) for _ in range(self.batch_size)]
-                    futures = [
-                        pool.submit(
-                            _prepare_sample,
-                            self.records[i],
-                            self.config,
-                            int(sample_seed) + step * self.batch_size + j,
-                        )
-                        for j, i in enumerate(idxs)
+                    seeds = [
+                        int(sample_seed) + step * self.batch_size + j
+                        for j in range(self.batch_size)
                     ]
-                    batch = _collate([f.result() for f in futures])
+                    batch = None
+                    if native_ok:
+                        batch = _prepare_batch_native(
+                            [self.records[i] for i in idxs],
+                            self.config,
+                            seeds,
+                            nthreads=self.num_workers,
+                            window=self.native_window,
+                        )
+                        native_ok = batch is not None  # don't retry a dead lib
+                    if batch is None:
+                        futures = [
+                            pool.submit(
+                                _prepare_sample,
+                                self.records[i],
+                                self.config,
+                                seeds[j],
+                            )
+                            for j, i in enumerate(idxs)
+                        ]
+                        batch = _collate([f.result() for f in futures])
                     step += 1
                     if not _put_or_stop(q, batch, stop):
                         return

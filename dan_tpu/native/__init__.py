@@ -1,8 +1,16 @@
-"""On-demand build + ctypes loader for the native eval kernels.
+"""On-demand build + ctypes loaders for the native components.
 
-Compiles overlaps.cc with g++ into a per-user cache directory the first
-time it's needed (no pip/apt — the toolchain is ambient), then loads it via
-ctypes.  Callers treat `load()` returning None as 'use the numpy fallback'.
+Two libraries live here, each compiled with g++ into a per-user cache
+directory (content-hashed) the first time it's needed — no pip/apt, the
+toolchain is ambient — then loaded via ctypes:
+
+- overlaps.cc — eval hot loops (IoU matrix, greedy gt matching) for the
+  WIDER AP protocol (the official tool's Cython extension equivalent).
+- loader.cc — the data-loader hot path: threaded JPEG window-decode
+  straight into the (B, C, C, 3) batch canvases (the reference's C++
+  tf.data input-pipeline equivalent), linked against the system libjpeg.
+
+Callers treat a loader returning None as 'use the Python fallback'.
 """
 from __future__ import annotations
 
@@ -12,73 +20,154 @@ import os
 import subprocess
 import sys
 import threading
-from typing import Optional
+from typing import Optional, Sequence, Tuple
 
 import numpy as np
 
-_SRC = os.path.join(os.path.dirname(__file__), "overlaps.cc")
 _lock = threading.Lock()
-_lib: Optional[ctypes.CDLL] = None
-_tried = False
+_libs: dict = {}  # name -> CDLL | None (None = build failed, don't retry)
 
 
-def _build(src: str, out: str) -> None:
-    cmd = [
-        "g++",
-        "-O3",
-        "-march=native",
-        "-shared",
-        "-fPIC",
-        "-o",
-        out,
-        src,
-    ]
+def _build(src: str, out: str, link_flags: Sequence[str]) -> None:
+    cmd = ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-o", out, src]
+    cmd += list(link_flags)
     subprocess.run(cmd, check=True, capture_output=True)
 
 
-def load() -> Optional[ctypes.CDLL]:
-    """Build (once, content-hashed) and load the native library."""
-    global _lib, _tried
+def _load_lib(name: str, link_flags: Sequence[str] = ()) -> Optional[ctypes.CDLL]:
+    """Build (once, content-hashed) and load native/<name>.cc."""
     with _lock:
-        if _lib is not None or _tried:
-            return _lib
-        _tried = True
+        if name in _libs:
+            return _libs[name]
+        src = os.path.join(os.path.dirname(__file__), f"{name}.cc")
         try:
-            with open(_SRC, "rb") as f:
+            with open(src, "rb") as f:
                 digest = hashlib.sha256(f.read()).hexdigest()[:16]
             cache_dir = os.environ.get(
                 "DAN_TPU_NATIVE_CACHE",
                 os.path.expanduser("~/.cache/dan_tpu_native"),
             )
             os.makedirs(cache_dir, exist_ok=True)
-            so_path = os.path.join(cache_dir, f"overlaps_{digest}.so")
+            so_path = os.path.join(cache_dir, f"{name}_{digest}.so")
             if not os.path.exists(so_path):
                 tmp = so_path + f".tmp{os.getpid()}"
-                _build(_SRC, tmp)
+                _build(src, tmp, link_flags)
                 os.replace(tmp, so_path)
-            lib = ctypes.CDLL(so_path)
-            lib.bbox_overlaps.argtypes = [
-                ctypes.POINTER(ctypes.c_double),
-                ctypes.c_int64,
-                ctypes.POINTER(ctypes.c_double),
-                ctypes.c_int64,
-                ctypes.POINTER(ctypes.c_double),
-            ]
-            lib.image_eval.argtypes = [
-                ctypes.POINTER(ctypes.c_double),
-                ctypes.c_int64,
-                ctypes.POINTER(ctypes.c_double),
-                ctypes.c_int64,
-                ctypes.POINTER(ctypes.c_uint8),
-                ctypes.c_double,
-                ctypes.POINTER(ctypes.c_int64),
-                ctypes.POINTER(ctypes.c_int64),
-            ]
-            _lib = lib
+            _libs[name] = ctypes.CDLL(so_path)
         except Exception as e:  # toolchain/permissions missing -> fallback
-            print(f"[dan_tpu.native] build unavailable: {e}", file=sys.stderr)
-            _lib = None
-        return _lib
+            print(f"[dan_tpu.native] {name} unavailable: {e}", file=sys.stderr)
+            _libs[name] = None
+        return _libs[name]
+
+
+def load() -> Optional[ctypes.CDLL]:
+    """The eval-kernel library (overlaps.cc)."""
+    lib = _load_lib("overlaps")
+    if lib is not None and not getattr(lib, "_sigs_set", False):
+        lib.bbox_overlaps.argtypes = [
+            ctypes.POINTER(ctypes.c_double),
+            ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_double),
+            ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_double),
+        ]
+        lib.image_eval.argtypes = [
+            ctypes.POINTER(ctypes.c_double),
+            ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_double),
+            ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_uint8),
+            ctypes.c_double,
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int64),
+        ]
+        lib._sigs_set = True
+    return lib
+
+
+def load_loader() -> Optional[ctypes.CDLL]:
+    """The JPEG data-loader library (loader.cc, links libjpeg)."""
+    lib = _load_lib("loader", link_flags=("-ljpeg",))
+    if lib is not None and not getattr(lib, "_sigs_set", False):
+        lib.dan_jpeg_dims.argtypes = [
+            ctypes.c_char_p,
+            ctypes.c_longlong,
+            ctypes.POINTER(ctypes.c_int),
+            ctypes.POINTER(ctypes.c_int),
+        ]
+        lib.dan_jpeg_dims.restype = ctypes.c_int
+        lib.dan_decode_batch.argtypes = [
+            ctypes.POINTER(ctypes.c_char_p),
+            ctypes.POINTER(ctypes.c_longlong),
+            ctypes.c_int,
+        ] + [ctypes.POINTER(ctypes.c_int)] * 6 + [
+            ctypes.c_int,
+            ctypes.POINTER(ctypes.c_uint8),
+            ctypes.c_int,
+            ctypes.POINTER(ctypes.c_int),
+        ]
+        lib.dan_decode_batch.restype = None
+        lib._sigs_set = True
+    return lib
+
+
+def jpeg_dims(buf: bytes) -> Optional[Tuple[int, int]]:
+    """(width, height) from the JPEG header, or None (bad file / no lib)."""
+    lib = load_loader()
+    if lib is None:
+        return None
+    w = ctypes.c_int()
+    h = ctypes.c_int()
+    rc = lib.dan_jpeg_dims(buf, len(buf), ctypes.byref(w), ctypes.byref(h))
+    return (w.value, h.value) if rc == 0 else None
+
+
+def decode_batch_into(
+    bufs: Sequence[bytes],
+    src_x: np.ndarray,
+    src_y: np.ndarray,
+    dst_x: np.ndarray,
+    dst_y: np.ndarray,
+    win_w: np.ndarray,
+    win_h: np.ndarray,
+    canvases: np.ndarray,
+    nthreads: int = 0,
+):
+    """Threaded window-decode: the source window (src_x, src_y, win_w,
+    win_h) of bufs[i] lands at (dst_x, dst_y) of canvases[i]; all other
+    canvas bytes are zeroed in C++. Returns a status int32 array —
+    status[i] != 0 means image i failed and its slot is zeros (the caller
+    decodes that one via its Python fallback). Returns None when the
+    native library is unavailable."""
+    lib = load_loader()
+    if lib is None:
+        return None
+    n = len(bufs)
+    assert canvases.dtype == np.uint8 and canvases.flags["C_CONTIGUOUS"]
+    assert canvases.shape[0] == n and canvases.shape[3] == 3
+    assert canvases.shape[1] == canvases.shape[2]
+    buf_ptrs = (ctypes.c_char_p * n)(*bufs)
+    sizes = (ctypes.c_longlong * n)(*[len(b) for b in bufs])
+
+    def _iptr(a):
+        a = np.ascontiguousarray(a, np.int32)
+        return a, a.ctypes.data_as(ctypes.POINTER(ctypes.c_int))
+
+    keep = [_iptr(a) for a in (src_x, src_y, dst_x, dst_y, win_w, win_h)]
+    status = np.zeros((n,), np.int32)
+    if nthreads <= 0:
+        nthreads = min(n, os.cpu_count() or 1)
+    lib.dan_decode_batch(
+        buf_ptrs,
+        sizes,
+        n,
+        *[p for _, p in keep],
+        int(canvases.shape[1]),
+        canvases.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        int(nthreads),
+        status.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+    )
+    return status
 
 
 def _ptr(a: np.ndarray, ctype):

@@ -98,8 +98,17 @@ def greedy_nms_pallas_batched(
     """Batched greedy NMS: (B, N, 4) boxes + (B, N) scores -> NMSResult with
     (B, max_out, ...) leaves."""
     bsz, n = scores.shape
-    b_pad = -(-bsz // _SUB) * _SUB
     n_pad = -(-max(n, _LANE) // _LANE) * _LANE
+    # VMEM cap: the kernel holds 7 (Bc, N) f32/i32 buffers; chunk the batch
+    # so a slab stays well under the ~16 MB scoped-VMEM limit (Bc=64 at
+    # N=5120 is ~9.2 MB). Slabs run sequentially as grid steps; rows within
+    # a slab stay in lockstep.
+    b_chunk = max(_SUB, min(64, (12 << 20) // (7 * 4 * n_pad) // _SUB * _SUB))
+    b_pad = -(-bsz // _SUB) * _SUB
+    if b_pad > b_chunk:
+        b_pad = -(-b_pad // b_chunk) * b_chunk
+    else:
+        b_chunk = b_pad
 
     def pad(x, fill):
         out = jnp.full((b_pad, n_pad), fill, jnp.float32)
@@ -117,12 +126,15 @@ def greedy_nms_pallas_batched(
         iou_threshold=iou_threshold,
         score_threshold=score_threshold,
     )
+    spec = pl.BlockSpec((b_chunk, n_pad), lambda i: (i, 0),
+                        memory_space=pltpu.VMEM)
     rank = pl.pallas_call(
         kernel,
+        grid=(b_pad // b_chunk,),
         out_shape=jax.ShapeDtypeStruct((b_pad, n_pad), jnp.int32),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 5,
-        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
-        scratch_shapes=[pltpu.VMEM((b_pad, n_pad), jnp.float32)],
+        in_specs=[spec] * 5,
+        out_specs=spec,
+        scratch_shapes=[pltpu.VMEM((b_chunk, n_pad), jnp.float32)],
         interpret=interpret,
     )(x1, y1, x2, y2, sc)[:bsz, :n]
 

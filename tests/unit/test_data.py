@@ -183,6 +183,150 @@ class TestPipeline:
         assert b.max() <= 128
 
 
+class TestNativeLoader:
+    def _records(self, tmp_path, rng, sizes):
+        import cv2
+
+        records = []
+        for i, (h, w) in enumerate(sizes):
+            img = rng.integers(0, 255, (h, w, 3), dtype=np.uint8)
+            p = str(tmp_path / f"img{i}.jpg")
+            cv2.imwrite(p, img[:, :, ::-1])
+            records.append(
+                ImageRecord(
+                    path=p,
+                    rel_path=f"e/img{i}.jpg",
+                    event="e",
+                    boxes=np.array(
+                        [[5, 5, min(w, 60), min(h, 70)]], np.float32
+                    ),
+                    attrs=np.zeros((1, 6), np.float32),
+                )
+            )
+        return records
+
+    def test_native_batch_matches_fallback(self, tmp_path):
+        """The C++ batch decode must produce the exact same batch metadata
+        (same rng stream) as the per-sample cv2 path; canvases agree up to
+        decoder-level JPEG differences (different libjpeg builds)."""
+        from dan_tpu import native
+        from dan_tpu.data.pipeline import (
+            _collate,
+            _prepare_batch_native,
+            _prepare_sample,
+        )
+
+        if native.load_loader() is None:
+            import pytest
+
+            pytest.skip("native toolchain unavailable")
+        cfg = _tiny_config()
+        rng = np.random.default_rng(1)
+        # Includes canvas-sized, small, and OVERSIZED (window path) images.
+        records = self._records(
+            tmp_path, rng, [(100, 120), (128, 128), (300, 400), (64, 200)]
+        )
+        seeds = [11, 12, 13, 14]
+        nb = _prepare_batch_native(records, cfg, seeds, nthreads=2,
+                                   window="full")
+        assert nb is not None
+        fb = _collate(
+            [_prepare_sample(r, cfg, s) for r, s in zip(records, seeds)]
+        )
+        for k in ("crop_x0", "crop_y0", "crop_size", "boxes", "mask", "seed"):
+            np.testing.assert_array_equal(nb[k], fb[k], err_msg=k)
+        # Un-windowed images decode bit-identically to cv2; windowed ones
+        # differ slightly at chroma-block boundaries (libjpeg-turbo's
+        # jpeg_crop_scanline documents partial-decode output as not
+        # bit-identical to a full decode under fancy upsampling; JPEG
+        # decoding is not bit-specified).  Random-noise JPEGs are the
+        # worst case — bound the drift loosely.
+        diff = np.abs(nb["canvas"].astype(int) - fb["canvas"].astype(int))
+        assert diff.max() <= 48 and diff.mean() < 0.5
+        assert (diff > 2).mean() < 0.02
+        np.testing.assert_array_equal(nb["canvas"][0], fb["canvas"][0])
+        np.testing.assert_array_equal(nb["canvas"][1], fb["canvas"][1])
+
+    def test_crop_window_decode_preprocess_identical(self, tmp_path):
+        """window='crop' decodes only the sampled data-anchor window; the
+        device-side train preprocess must produce the SAME training sample
+        from it as from the fully-decoded canvas (proves the +2 px halo is
+        sufficient and the rest of the canvas is never read)."""
+        import jax
+        import jax.numpy as jnp
+
+        from dan_tpu import native
+        from dan_tpu.data.pipeline import _prepare_batch_native
+        from dan_tpu.ops.preprocess import CropParams, train_preprocess_one
+
+        if native.load_loader() is None:
+            import pytest
+
+            pytest.skip("native toolchain unavailable")
+        cfg = _tiny_config()
+        rng = np.random.default_rng(3)
+        records = self._records(
+            tmp_path, rng, [(100, 120), (128, 128), (300, 400), (64, 200)]
+        )
+        seeds = [21, 22, 23, 24]
+        cb = _prepare_batch_native(records, cfg, seeds, nthreads=2,
+                                   window="crop")
+        fb = _prepare_batch_native(records, cfg, seeds, nthreads=2,
+                                   window="full")
+        for k in ("crop_x0", "crop_y0", "crop_size", "boxes", "mask", "seed"):
+            np.testing.assert_array_equal(cb[k], fb[k], err_msg=k)
+        for i in range(len(records)):
+            crop = CropParams(
+                x0=jnp.float32(cb["crop_x0"][i]),
+                y0=jnp.float32(cb["crop_y0"][i]),
+                size=jnp.float32(cb["crop_size"][i]),
+            )
+            key = jax.random.PRNGKey(int(cb["seed"][i]))
+            args = (jnp.asarray(cb["boxes"][i]), jnp.asarray(cb["mask"][i]),
+                    key, cfg.preprocess)
+            img_c, box_c, m_c = train_preprocess_one(
+                jnp.asarray(cb["canvas"][i]), crop, *args)
+            img_f, box_f, m_f = train_preprocess_one(
+                jnp.asarray(fb["canvas"][i]), crop, *args)
+            np.testing.assert_array_equal(np.asarray(img_c), np.asarray(img_f))
+            np.testing.assert_array_equal(np.asarray(box_c), np.asarray(box_f))
+            np.testing.assert_array_equal(np.asarray(m_c), np.asarray(m_f))
+
+    def test_pipeline_uses_native_and_falls_back(self, tmp_path):
+        """A non-JPEG file in the batch must not kill the native batch —
+        that image alone takes the cv2 path."""
+        import cv2
+
+        from dan_tpu import native
+
+        if native.load_loader() is None:
+            import pytest
+
+            pytest.skip("native toolchain unavailable")
+        cfg = _tiny_config()
+        rng = np.random.default_rng(2)
+        records = self._records(tmp_path, rng, [(90, 110), (128, 128)])
+        png = str(tmp_path / "img_png.png")
+        img = rng.integers(0, 255, (80, 100, 3), dtype=np.uint8)
+        cv2.imwrite(png, img[:, :, ::-1])
+        records.append(
+            ImageRecord(
+                path=png,
+                rel_path="e/img_png.png",
+                event="e",
+                boxes=np.array([[5, 5, 50, 50]], np.float32),
+                attrs=np.zeros((1, 6), np.float32),
+            )
+        )
+        from dan_tpu.data.pipeline import _prepare_batch_native
+
+        nb = _prepare_batch_native(records, cfg, [1, 2, 3], nthreads=2)
+        assert nb is not None
+        # PNG decoded via the fallback: pixels match cv2 exactly.
+        np.testing.assert_array_equal(nb["canvas"][2][:80, :100], img)
+        assert nb["mask"].sum() == 3
+
+
 class TestSynthetic:
     def test_batch_shapes(self):
         cfg = _tiny_config()

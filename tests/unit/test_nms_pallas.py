@@ -144,3 +144,30 @@ class TestBatchedNMSParity:
             jnp.asarray(boxes), jnp.asarray(scores), 0.3, 100, interpret=True
         )
         assert got.boxes.shape == (3, 100, 4)
+
+
+class TestBatchedNMSGrid:
+    def test_multi_slab_grid_matches_per_image(self):
+        """B larger than the VMEM batch chunk (64) exercises the grid path
+        (batch 128 previously over-allocated scoped VMEM and failed to
+        compile); every row must still match the per-image oracle."""
+        rng = np.random.default_rng(13)
+        B, N = 80, 96
+        boxes = np.zeros((B, N, 4), np.float32)
+        scores = np.zeros((B, N), np.float32)
+        for b in range(B):
+            boxes[b] = _random_boxes(rng, N)
+            scores[b] = rng.uniform(0.01, 1.0, N)
+        got = greedy_nms_pallas_batched(
+            jnp.asarray(boxes), jnp.asarray(scores), 0.4, 10, interpret=True
+        )
+        for b in [0, 31, 63, 64, 79]:  # straddle the slab boundary
+            want = greedy_nms(
+                jnp.asarray(boxes[b]), jnp.asarray(scores[b]), 0.4, 10
+            )
+            np.testing.assert_array_equal(
+                np.asarray(got.indices[b]), np.asarray(want.indices)
+            )
+            np.testing.assert_array_equal(
+                np.asarray(got.valid[b]), np.asarray(want.valid)
+            )
