@@ -31,7 +31,7 @@ from dan_tpu.utils.cache import enable_compilation_cache
 enable_compilation_cache()
 import numpy as np
 
-BATCH = int(os.environ.get("DAN_BENCH_BATCH", "16"))
+BATCH = int(os.environ.get("DAN_BENCH_BATCH", "128"))
 WARMUP_ITERS = 3
 MEASURE_ITERS = 20
 CPU_BASELINE_CACHE = os.path.join(
