@@ -291,11 +291,14 @@ class TTARunner:
         for (bucket, canvas_size), vs in groups.items():
             canvas = np.zeros((canvas_size, canvas_size, 3), np.uint8)
             canvas[:h, :w] = image
+            # One H2D of the canvas; replicate on device (H2D of the
+            # n-fold broadcast costs n x the bytes over the axon tunnel).
+            canvas_dev = jax.device_put(canvas)
             fn = self._get_bucket_fn(bucket)
             n = len(vs)
             boxes, scores, valid = fn(
                 self.params,
-                jnp.asarray(np.broadcast_to(canvas, (n, *canvas.shape))),
+                jnp.broadcast_to(canvas_dev, (n, *canvas.shape)),
                 jnp.full((n,), h, jnp.float32),
                 jnp.full((n,), w, jnp.float32),
                 jnp.asarray([v.scale for v in vs], jnp.float32),
@@ -346,7 +349,13 @@ class TTARunner:
         n_dev = len(mesh.devices.flat) if mesh is not None else 1
         chunk = max(n_dev * batch_per_device, 1)
 
-        # unit: (key, variant, h, w, canvas np array)
+        # unit: (key, variant, h, w, device-resident canvas).
+        # Each image's canvas is device_put ONCE (async) and shared by all
+        # of its TTA variants; launches stack the device-resident arrays.
+        # On this box H2D rides the axon tunnel at ~12 MB/s, so shipping
+        # the padded canvas per VARIANT (as a host-side np.stack would)
+        # made eval transfer-bound — ~7x the necessary bytes.  On a real
+        # PCIe host this is still strictly fewer copies.
         groups: Dict[Tuple[int, int], list] = {}
         per_key: Dict[str, list] = {}
         n_images = 0
@@ -361,7 +370,9 @@ class TTARunner:
                 part = units[start : start + chunk]
                 n = len(part)
                 pad = chunk - n
-                canv = np.stack([u[4] for u in part] + [part[0][4]] * pad)
+                canv = jnp.stack(
+                    [u[4] for u in part] + [part[0][4]] * pad
+                )  # device-side stack: no duplicated H2D
                 hs = np.asarray([u[2] for u in part] + [part[0][2]] * pad, np.float32)
                 ws = np.asarray([u[3] for u in part] + [part[0][3]] * pad, np.float32)
                 scales = np.asarray(
@@ -370,7 +381,7 @@ class TTARunner:
                 flips = np.asarray([u[1].flip for u in part] + [False] * pad)
                 boxes, scores, valid = fn(
                     self.params,
-                    jnp.asarray(canv),
+                    canv,
                     jnp.asarray(hs),
                     jnp.asarray(ws),
                     jnp.asarray(scales),
@@ -396,10 +407,11 @@ class TTARunner:
             canvas_size = canvas_bucket(max(h, w), self.config.tta.buckets)
             canvas = np.zeros((canvas_size, canvas_size, 3), np.uint8)
             canvas[:h, :w] = image
+            canvas_dev = jax.device_put(canvas)  # async; one H2D per image
             for v in plan_variants(h, w, self.config):
                 bucket = pick_bucket(max(h, w) * v.scale, self.config.tta.buckets)
                 gk = (bucket, canvas_size)
-                groups.setdefault(gk, []).append((key, v, h, w, canvas))
+                groups.setdefault(gk, []).append((key, v, h, w, canvas_dev))
                 if len(groups[gk]) >= chunk:
                     flush(gk)
             n_images += 1

@@ -35,6 +35,13 @@ def main():
     ap.add_argument("--split", default="val")
     ap.add_argument("--gt_mats", default=None, help="official eval_tools/ground_truth dir")
     ap.add_argument("--no_tta", action="store_true", help="single-scale forward only")
+    ap.add_argument(
+        "--tta_batch",
+        type=int,
+        default=4,
+        help="TTA (image, variant) units per chip per launch; >1 amortizes "
+        "dispatch latency (one compiled executable per bucket per value)",
+    )
     ap.add_argument("--limit", type=int, default=None, help="eval first N images")
     ap.add_argument("--score_only", action="store_true", help="skip inference, read --pred_dir")
     ap.add_argument("--pred_dir", default=None)
@@ -90,7 +97,12 @@ def main():
                 (os.path.splitext(r.rel_path)[0], load_image_rgb(r.path))
                 for r in records
             )
-            results = runner.run_dataset(items, mesh=mesh, progress_every=50)
+            results = runner.run_dataset(
+                items,
+                mesh=mesh,
+                batch_per_device=args.tta_batch,
+                progress_every=50,
+            )
             predictions = {
                 k: np.concatenate([v["bboxes"], v["scores"][:, None]], -1)
                 for k, v in results.items()
