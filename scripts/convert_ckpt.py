@@ -17,7 +17,18 @@ def main():
     ap.add_argument("--tf_ckpt", required=True)
     ap.add_argument("--out", required=True)
     ap.add_argument("--strict", action="store_true")
+    ap.add_argument(
+        "--platform",
+        default="cpu",
+        help="jax platform for the conversion (pure host work — cpu "
+        "default keeps the saved shardings portable and leaves any TPU "
+        "free; env vars are unreliable under the axon sitecustomize)",
+    )
     args = ap.parse_args()
+    import jax
+
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
 
     from dan_tpu.ckpt.orbax_io import save_params
     from dan_tpu.ckpt.tf_import import load_tf_checkpoint
