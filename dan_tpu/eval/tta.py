@@ -358,6 +358,7 @@ class TTARunner:
         # PCIe host this is still strictly fewer copies.
         groups: Dict[Tuple[int, int], list] = {}
         per_key: Dict[str, list] = {}
+        pending: list = []  # (part, boxes_dev, scores_dev, valid_dev)
         n_images = 0
 
         def flush(group_key):
@@ -387,16 +388,11 @@ class TTARunner:
                     jnp.asarray(scales),
                     jnp.asarray(flips),
                 )
-                boxes = np.asarray(boxes)
-                scores = np.asarray(scores)
-                valid = np.asarray(valid)
-                for i, (key, v, _, _, _) in enumerate(part):
-                    gate = variant_gate(
-                        boxes[i], v, self.config.tta.gate_measure
-                    )
-                    per_key[key].append(
-                        (boxes[i], scores[i], valid[i] & gate)
-                    )
+                # Defer the D2H fetch: keep device refs so launches queue
+                # back-to-back (each fetch is a blocking ~30-60 ms tunnel
+                # roundtrip; results are ~50 KB/launch, so holding them on
+                # device until the end is free).
+                pending.append((part, boxes, scores, valid))
 
         for key, image in items:
             image = np.asarray(image)
@@ -422,6 +418,14 @@ class TTARunner:
 
         for gk in list(groups):
             flush(gk)
+
+        for part, boxes, scores, valid in pending:
+            boxes = np.asarray(boxes)
+            scores = np.asarray(scores)
+            valid = np.asarray(valid)
+            for i, (key, v, _, _, _) in enumerate(part):
+                gate = variant_gate(boxes[i], v, self.config.tta.gate_measure)
+                per_key[key].append((boxes[i], scores[i], valid[i] & gate))
 
         # Per-image fusion (device bbox-vote).
         results: Dict[str, Dict[str, np.ndarray]] = {}
