@@ -79,15 +79,47 @@ class TrainStateSaver:
 
     latest_step() only counts finalized 'step_N' dirs, so a crash mid-write
     (orbax tmp dir) never breaks resume.
+
+    max_to_keep bounds disk use like the reference's tf.train.Saver
+    (default 5 there too): after each save, older FINALIZED step dirs
+    beyond the newest max_to_keep are pruned. Pruning renames to a
+    '.pruning' suffix first (atomic), so a crash mid-delete can never
+    leave a half-deleted dir that latest_step()/resume would pick up.
     """
 
-    def __init__(self):
+    def __init__(self, max_to_keep: Optional[int] = 5):
         self._ckptr = ocp.StandardCheckpointer()
+        self.max_to_keep = max_to_keep
 
     def save(self, root: str, step: int, state: Any) -> str:
         path = os.path.abspath(os.path.join(root, f"step_{step:08d}"))
         self._ckptr.save(path, state)
+        self._prune(os.path.abspath(root), step)
         return path
+
+    def _prune(self, root: str, current: int) -> None:
+        if not self.max_to_keep:
+            return
+        import re
+        import shutil
+
+        finalized = sorted(
+            int(m.group(1))
+            for d in os.listdir(root)
+            if (m := re.fullmatch(r"step_(\d+)", d))
+        )
+        # The just-saved step is usually still an orbax tmp dir (async
+        # write) and absent from `finalized` — count it toward the keep
+        # budget anyway so retention is exactly max_to_keep, newest-first.
+        keep = set(sorted(set(finalized) | {current})[-self.max_to_keep :])
+        for s in (s for s in finalized if s not in keep):
+            src = os.path.join(root, f"step_{s:08d}")
+            tmp = src + ".pruning"
+            try:
+                os.rename(src, tmp)
+                shutil.rmtree(tmp, ignore_errors=True)
+            except OSError:
+                pass  # concurrent reader/pruner: leave it for next time
 
     def wait(self) -> None:
         """Join all outstanding background writes."""

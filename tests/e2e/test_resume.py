@@ -94,3 +94,32 @@ class TestResume:
         for i in range(3):
             state, _ = step_fn(state, shard_batch(synthetic_batch(cfg, 8, seed=i), mesh))
         assert step_fn._cache_size() == 1
+
+    def test_saver_retention_prunes_old_checkpoints(self, tmp_path):
+        """max_to_keep bounds disk use (the reference tf.train.Saver keeps
+        5): older finalized step dirs are pruned, the newest survive, and
+        latest_step/restore still work."""
+        cfg = tiny_config()
+        mesh = make_mesh()
+        state = place_replicated(
+            create_train_state(cfg, jax.random.PRNGKey(0)), mesh
+        )
+        with TrainStateSaver(max_to_keep=3) as saver:
+            for s in range(1, 8):
+                saver.save(str(tmp_path), s, state._replace(step=s))
+                saver.wait()  # finalize so pruning sees each dir
+        import os
+        import re
+
+        kept = sorted(
+            int(m.group(1))
+            for d in os.listdir(str(tmp_path))
+            if (m := re.fullmatch(r"step_(\d+)", d))
+        )
+        assert kept == [5, 6, 7], kept
+        assert latest_step(str(tmp_path)) == 7
+        abstract = jax.tree_util.tree_map(
+            np.asarray, create_train_state(cfg, jax.random.PRNGKey(0))
+        )
+        restored = restore_train_state(str(tmp_path), abstract)
+        assert int(restored.step) == 7
