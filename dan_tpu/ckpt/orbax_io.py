@@ -103,6 +103,13 @@ class TrainStateSaver:
         import re
         import shutil
 
+        # Sweep leftovers from a crash between rename and rmtree first —
+        # a '.pruning' dir never matches the step pattern again, so
+        # without this it would hold a full TrainState's disk forever.
+        for d in os.listdir(root):
+            if d.endswith(".pruning"):
+                shutil.rmtree(os.path.join(root, d), ignore_errors=True)
+
         finalized = sorted(
             int(m.group(1))
             for d in os.listdir(root)

@@ -161,6 +161,11 @@ def _prepare_batch_native(
         wh = native.jpeg_dims(b)
         if wh is None:  # non-JPEG/corrupt header: full Python fallback
             continue
+        # cv2 applies EXIF orientation; libjpeg does not. A rotated image
+        # decoded natively would mis-align with its (display-oriented) gt
+        # boxes — hand those to the cv2 fallback.
+        if (native.jpeg_exif_orientation(b) or 1) != 1:
+            continue
         rng = np.random.default_rng(seeds[i])
         off_x, off_y = _window_params(r, wh[0], wh[1], c, rng)
         placed_w = min(c, wh[0] - off_x)

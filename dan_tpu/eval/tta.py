@@ -94,7 +94,10 @@ def plan_variants(h: int, w: int, config: DANConfig) -> List[Variant]:
         scales.append(tta.extra_scale_small_images)
     for st in scales:
         s = min(st * shrink, cap)
-        if s >= 1.0:
+        # Strictly greater, per the documented `bt > 1` rule: an absolute
+        # factor of exactly 1.0 (shrink*st or the cap landing on 1) did not
+        # enlarge the image, so it must keep LARGE boxes, not small ones.
+        if s > 1.0:
             gate = Variant(
                 scale=s, flip=False, max_size=tta.small_box_max_size
             )
@@ -391,8 +394,13 @@ class TTARunner:
                 # Defer the D2H fetch: keep device refs so launches queue
                 # back-to-back (each fetch is a blocking ~30-60 ms tunnel
                 # roundtrip; results are ~50 KB/launch, so holding them on
-                # device until the end is free).
-                pending.append((part, boxes, scores, valid))
+                # device until the end is free).  Keep only (key, variant)
+                # per unit — retaining the full unit tuples would pin every
+                # image's device-resident canvas in HBM for the whole run
+                # (~16 GB over WIDER val).
+                pending.append(
+                    ([(u[0], u[1]) for u in part], boxes, scores, valid)
+                )
 
         for key, image in items:
             image = np.asarray(image)
@@ -423,7 +431,7 @@ class TTARunner:
             boxes = np.asarray(boxes)
             scores = np.asarray(scores)
             valid = np.asarray(valid)
-            for i, (key, v, _, _, _) in enumerate(part):
+            for i, (key, v) in enumerate(part):
                 gate = variant_gate(boxes[i], v, self.config.tta.gate_measure)
                 per_key[key].append((boxes[i], scores[i], valid[i] & gate))
 

@@ -122,6 +122,57 @@ def jpeg_dims(buf: bytes) -> Optional[Tuple[int, int]]:
     return (w.value, h.value) if rc == 0 else None
 
 
+def jpeg_exif_orientation(buf: bytes) -> Optional[int]:
+    """EXIF Orientation tag (1..8) from JPEG bytes, or None if absent.
+
+    libjpeg ignores EXIF, but cv2.imread applies it — so the native decode
+    path must detect a non-default orientation and hand such images to the
+    cv2 fallback, keeping the two paths geometrically identical."""
+    try:
+        if len(buf) < 4 or buf[0:2] != b"\xff\xd8":
+            return None
+        i = 2
+        while i + 4 <= len(buf):
+            if buf[i] != 0xFF:
+                return None
+            marker = buf[i + 1]
+            if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+                i += 2
+                continue
+            if marker == 0xDA:  # start of scan: no APP1 ahead
+                return None
+            seg_len = int.from_bytes(buf[i + 2 : i + 4], "big")
+            if marker == 0xE1 and buf[i + 4 : i + 10] == b"Exif\x00\x00":
+                tiff = i + 10
+                order = buf[tiff : tiff + 2]
+                if order == b"II":
+                    end = "little"
+                elif order == b"MM":
+                    end = "big"
+                else:
+                    return None
+
+                def u16(off):
+                    return int.from_bytes(buf[off : off + 2], end)
+
+                def u32(off):
+                    return int.from_bytes(buf[off : off + 4], end)
+
+                ifd = tiff + u32(tiff + 4)
+                n = u16(ifd)
+                for e in range(n):
+                    entry = ifd + 2 + 12 * e
+                    if entry + 12 > len(buf):
+                        return None
+                    if u16(entry) == 0x0112:  # Orientation, SHORT
+                        return u16(entry + 8)
+                return None
+            i += 2 + seg_len
+        return None
+    except Exception:
+        return None
+
+
 def decode_batch_into(
     bufs: Sequence[bytes],
     src_x: np.ndarray,

@@ -250,7 +250,7 @@ def _assign_kernel(
         (matched_w_ref, gx2 - gx1),
         (matched_h_ref, gy2 - gy1),
     ):
-        picked = jnp.sum(jnp.where(sel, val, 0.0), axis=1)  # (TILE_A,)
+        picked = jnp.sum(jnp.where(sel, val, 0.0), axis=1, keepdims=True)
         ref[0:1, pl.ds(start, _TILE_A)] = picked.reshape(1, _TILE_A)
 
 

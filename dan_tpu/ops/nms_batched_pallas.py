@@ -103,7 +103,18 @@ def greedy_nms_pallas_batched(
     # so a slab stays well under the ~16 MB scoped-VMEM limit (Bc=64 at
     # N=5120 is ~9.2 MB). Slabs run sequentially as grid steps; rows within
     # a slab stay in lockstep.
-    b_chunk = max(_SUB, min(64, (12 << 20) // (7 * 4 * n_pad) // _SUB * _SUB))
+    budget_rows = (12 << 20) // (7 * 4 * n_pad) // _SUB * _SUB
+    if budget_rows < _SUB:
+        # Even an 8-row slab would blow scoped VMEM (N >~ 56k): this
+        # kernel cannot run — fail loudly instead of compiling a kernel
+        # the Mosaic VMEM checker will reject anyway. Callers should use
+        # ops.nms.greedy_nms (XLA) for such N.
+        raise ValueError(
+            f"greedy_nms_pallas_batched: n_pad={n_pad} needs "
+            f"{7 * 4 * n_pad * _SUB / 2**20:.1f} MB VMEM per minimal slab; "
+            "use the XLA NMS for this size"
+        )
+    b_chunk = min(64, budget_rows)
     b_pad = -(-bsz // _SUB) * _SUB
     if b_pad > b_chunk:
         b_pad = -(-b_pad // b_chunk) * b_chunk

@@ -123,3 +123,22 @@ class TestResume:
         )
         restored = restore_train_state(str(tmp_path), abstract)
         assert int(restored.step) == 7
+
+    def test_prune_sweeps_orphaned_pruning_dirs(self, tmp_path):
+        """A crash between rename and rmtree leaves 'step_N.pruning';
+        the next prune pass must sweep it."""
+        import os
+
+        cfg = tiny_config()
+        mesh = make_mesh()
+        state = place_replicated(
+            create_train_state(cfg, jax.random.PRNGKey(0)), mesh
+        )
+        orphan = tmp_path / "step_00000001.pruning"
+        orphan.mkdir()
+        (orphan / "junk").write_text("x")
+        with TrainStateSaver(max_to_keep=3) as saver:
+            saver.save(str(tmp_path), 2, state._replace(step=2))
+            saver.wait()
+        assert not orphan.exists()
+        assert latest_step(str(tmp_path)) == 2

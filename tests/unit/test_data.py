@@ -292,6 +292,46 @@ class TestNativeLoader:
             np.testing.assert_array_equal(np.asarray(box_c), np.asarray(box_f))
             np.testing.assert_array_equal(np.asarray(m_c), np.asarray(m_f))
 
+    def test_exif_rotated_jpeg_uses_cv2_fallback(self, tmp_path):
+        """cv2 applies EXIF orientation, libjpeg doesn't: a rotated JPEG
+        must take the fallback so pixels align with display-oriented gt."""
+        import io
+
+        from PIL import Image
+
+        from dan_tpu import native
+        from dan_tpu.data.pipeline import _prepare_batch_native, _prepare_sample
+
+        if native.load_loader() is None:
+            import pytest
+
+            pytest.skip("native toolchain unavailable")
+        rng = np.random.default_rng(5)
+        arr = rng.integers(0, 255, (100, 80, 3), dtype=np.uint8)
+        exif = Image.Exif()
+        exif[0x0112] = 6  # rotate 90 CW on display
+        b = io.BytesIO()
+        Image.fromarray(arr).save(b, format="JPEG", exif=exif.tobytes())
+        p = str(tmp_path / "rot.jpg")
+        with open(p, "wb") as f:
+            f.write(b.getvalue())
+        assert native.jpeg_exif_orientation(b.getvalue()) == 6
+        cfg = _tiny_config()
+        rec = ImageRecord(
+            path=p,
+            rel_path="e/rot.jpg",
+            event="e",
+            boxes=np.array([[5, 5, 40, 50]], np.float32),
+            attrs=np.zeros((1, 6), np.float32),
+        )
+        nb = _prepare_batch_native([rec], cfg, [9], nthreads=1)
+        fs = _prepare_sample(rec, cfg, 9)
+        # Identical to the cv2 path in every field INCLUDING pixels —
+        # proof the native decoder did not touch this image.
+        np.testing.assert_array_equal(nb["canvas"][0], fs["canvas"])
+        for k in ("crop_x0", "crop_y0", "crop_size", "boxes", "mask", "seed"):
+            np.testing.assert_array_equal(nb[k][0], fs[k], err_msg=k)
+
     def test_pipeline_uses_native_and_falls_back(self, tmp_path):
         """A non-JPEG file in the batch must not kill the native batch —
         that image alone takes the cv2 path."""

@@ -171,3 +171,13 @@ class TestBatchedNMSGrid:
             np.testing.assert_array_equal(
                 np.asarray(got.valid[b]), np.asarray(want.valid)
             )
+
+    def test_infeasible_n_raises_instead_of_vmem_oom(self):
+        """N large enough that even an 8-row slab exceeds scoped VMEM must
+        fail loudly with guidance, not die in the Mosaic VMEM checker."""
+        import pytest
+
+        boxes = jnp.zeros((8, 60000, 4), jnp.float32)
+        scores = jnp.zeros((8, 60000), jnp.float32)
+        with pytest.raises(ValueError, match="XLA NMS"):
+            greedy_nms_pallas_batched(boxes, scores, 0.4, 10, interpret=True)
