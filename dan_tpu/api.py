@@ -13,14 +13,13 @@ greedy NMS.  Only the final (<= max_detections) boxes return to host.
 """
 from __future__ import annotations
 
-import functools
 from typing import Dict, Optional
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from dan_tpu.box.anchors import generate_anchors_np
+from dan_tpu.box.anchors import generate_anchors
 from dan_tpu.config import DANConfig, default_config
 from dan_tpu.models.detector import detector_forward, init_detector_params
 from dan_tpu.ops.postprocess import postprocess_one
@@ -67,7 +66,7 @@ class Detector:
         vmapped for detect_batch() — one definition, no drift."""
         cfg = self.config
         size = cfg.model.image_size
-        anchors = jnp.asarray(generate_anchors_np(cfg.anchors, size, size))
+        anchors = generate_anchors(cfg.anchors, size, size)
 
         def one(params, canvas_u8, src_h, src_w):
             img = eval_preprocess(canvas_u8, src_h, src_w, size, cfg.preprocess)
@@ -114,6 +113,13 @@ class Detector:
         if image.ndim != 3 or image.shape[-1] != 3:
             raise ValueError(f"expected (H, W, 3) RGB image, got {image.shape}")
         if image.dtype != np.uint8:
+            if np.issubdtype(image.dtype, np.floating):
+                # Accept both float conventions: [0, 1]-normalized (the
+                # common float-image format — truncating it to uint8 would
+                # silently black the image out) and [0, 255].
+                if image.size and float(np.nanmax(image)) <= 1.0 + 1e-6:
+                    image = image * 255.0
+                image = np.rint(image)
             image = np.clip(image, 0, 255).astype(np.uint8)
         return image
 

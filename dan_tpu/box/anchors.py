@@ -49,7 +49,11 @@ def generate_anchors_np(
         centers = layer_anchor_centers(fh, fw, layer.stride, layer.offset)
         wh = np.full_like(centers, layer.anchor_size)
         per_layer.append(np.concatenate([centers, wh], axis=-1))
-    return np.concatenate(per_layer, axis=0).astype(np.float32)
+    out = np.concatenate(per_layer, axis=0).astype(np.float32)
+    # lru_cache hands the SAME array to every caller: make it read-only so
+    # an in-place mutation can't silently poison the process-wide cache.
+    out.setflags(write=False)
+    return out
 
 
 def generate_anchors(

@@ -211,8 +211,17 @@ def _bilinear_weights(
     lo = jnp.floor(src)
     f = src - lo
     valid = (src > lo_b - 1.0) & (src < hi_b)
-    lo_c = jnp.clip(lo, lo_b, hi_b - 1.0)
-    hi_c = jnp.clip(lo + 1.0, lo_b, hi_b - 1.0)
+    # Neighbor clamp bounds = the region's pixel-index range. ceil/floor
+    # around the half-pixel edge integerizes fractional region bounds
+    # (identity for the integer-valued regions every caller passes) so a
+    # clamped neighbor coordinate always addresses a real pixel row —
+    # a fractional clamp target would silently zero its weight. Clamped
+    # coordinates outside [0, src_len) match no source row and contribute
+    # 0: region content beyond the canvas reads as zero padding.
+    lo_px = jnp.ceil(lo_b - 0.5)
+    hi_px = jnp.floor(hi_b - 0.5)
+    lo_c = jnp.clip(lo, lo_px, hi_px)
+    hi_c = jnp.clip(lo + 1.0, lo_px, hi_px)
     i = jnp.arange(src_len, dtype=jnp.float32)
     w = (1.0 - f)[:, None] * (i[None, :] == lo_c[:, None]) + f[:, None] * (
         i[None, :] == hi_c[:, None]
@@ -261,15 +270,29 @@ def crop_and_resize(
     image: jnp.ndarray,
     crop: CropParams,
     out_size: int,
-    method: str = "bilinear",
 ) -> jnp.ndarray:
     """Sample a square crop window to a fixed (out_size, out_size).
 
-    image: (H, W, C) float. Window may extend beyond the canvas; out-of-
-    bounds samples are zero, matching padding the source before cropping.
+    image: (H, W, C) float. Reference semantics (pad the source with
+    zeros, extract the window, tf.image.resize the window): the resample
+    clamps at the WINDOW edge (the extracted window is the resize's whole
+    input), and window content beyond the canvas reads as zero padding —
+    so a window reaching past the canvas fades bilinearly into zeros
+    instead of double-weighting the canvas edge pixel, while a window
+    edge inside the canvas does not bleed in neighboring canvas pixels
+    the reference's extracted window could never see.
     """
     s = out_size / crop.size
-    return bilinear_resample(image, out_size, out_size, s, s, crop.y0, crop.x0)
+    return bilinear_resample(
+        image,
+        out_size,
+        out_size,
+        s,
+        s,
+        crop.y0,
+        crop.x0,
+        region=(crop.y0, crop.y0 + crop.size, crop.x0, crop.x0 + crop.size),
+    )
 
 
 def resize_image(

@@ -15,19 +15,18 @@ params + gt boxes).
 """
 from __future__ import annotations
 
-import functools
 from typing import Any, Dict, NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp
 import optax
 
-from dan_tpu.box.anchors import generate_anchors_np
+from dan_tpu.box.anchors import generate_anchors
 from dan_tpu.box.matching import match_anchors_batch
 from dan_tpu.config import DANConfig
 from dan_tpu.models.detector import detector_forward, init_detector_params
 from dan_tpu.ops.preprocess import CropParams, train_preprocess_one
-from dan_tpu.parallel.mesh import batch_sharding, make_mesh, replicated
+from dan_tpu.parallel.mesh import batch_sharding, replicated
 from dan_tpu.train.loss import detection_loss
 from dan_tpu.train.optim import make_optimizer
 
@@ -51,7 +50,7 @@ def create_train_state(config: DANConfig, key: jax.Array) -> TrainState:
 def preprocess_and_match(batch: Dict[str, jnp.ndarray], config: DANConfig):
     """Device-side input stage: fused preprocess + anchor match/encode."""
     size = config.preprocess.train_image_size
-    anchors = jnp.asarray(generate_anchors_np(config.anchors, size, size))
+    anchors = generate_anchors(config.anchors, size, size)
 
     def per_image(canvas, x0, y0, csize, boxes, mask, seed):
         key = jax.random.PRNGKey(seed)

@@ -5,7 +5,6 @@ expressed as optax transforms.
 """
 from __future__ import annotations
 
-import jax.numpy as jnp
 import optax
 
 from dan_tpu.config import TrainConfig
@@ -20,12 +19,20 @@ def make_lr_schedule(config: TrainConfig) -> optax.Schedule:
         },
     )
     if config.warmup_steps > 0:
-        warmup = optax.linear_schedule(
-            init_value=config.learning_rate * 0.1,
-            end_value=config.learning_rate,
-            transition_steps=config.warmup_steps,
-        )
-        return optax.join_schedules([warmup, base], [config.warmup_steps])
+        # Warmup is a multiplicative ramp ON TOP of the absolute-step
+        # piecewise schedule. (optax.join_schedules would feed the base
+        # schedule step - warmup_steps, silently shifting every decay
+        # boundary warmup_steps late — the reference's boundaries are
+        # absolute training steps.)
+        import jax.numpy as jnp
+
+        def sched(step):
+            frac = jnp.minimum(
+                jnp.asarray(step, jnp.float32) / config.warmup_steps, 1.0
+            )
+            return base(step) * (0.1 + 0.9 * frac)
+
+        return sched
     return base
 
 

@@ -140,6 +140,39 @@ class TestPreprocessGeometry:
         out = np.asarray(crop_and_resize(jnp.asarray(img), crop, 8))
         np.testing.assert_allclose(out, 0.5, rtol=1e-5)
 
+    def test_crop_matches_pad_extract_resize_oracle(self):
+        """Reference semantics end-to-end: pad the source with zeros,
+        extract the (integer) window, half-pixel bilinear resize. The
+        fused crop_and_resize must match for interior windows, windows on
+        the canvas edge, and windows extending past the canvas (zero-fade
+        at the border, clamp at the WINDOW edge — not the canvas edge)."""
+        rng = np.random.default_rng(0)
+        img = rng.uniform(0, 255, (40, 40, 3)).astype(np.float32)
+        for x0, y0, size in [
+            (-12, -7, 48),
+            (5, 9, 20),
+            (0, 0, 40),
+            (-30, -30, 100),
+            (25, 25, 30),
+        ]:
+            crop = CropParams(
+                jnp.float32(x0), jnp.float32(y0), jnp.float32(size)
+            )
+            got = np.asarray(crop_and_resize(jnp.asarray(img), crop, 16))
+            p = 128
+            pad = np.zeros((40 + 2 * p, 40 + 2 * p, 3), np.float32)
+            pad[p : p + 40, p : p + 40] = img
+            win = pad[p + y0 : p + y0 + size, p + x0 : p + x0 + size]
+            want = np.asarray(
+                jax.image.resize(
+                    jnp.asarray(win), (16, 16, 3), "bilinear", antialias=False
+                )
+            )
+            np.testing.assert_allclose(
+                got, want, rtol=1e-4, atol=1e-3,
+                err_msg=f"window ({x0},{y0},{size})",
+            )
+
     def test_upscale_matches_tf_halfpixel(self):
         # 2x upsample of a 2x2 ramp with half-pixel bilinear has known values.
         img = jnp.asarray(
