@@ -37,19 +37,57 @@ def restore_params(path: str, config: Optional[DANConfig] = None) -> Any:
     path = os.path.abspath(path)
     if os.path.isdir(os.path.join(path, "params")):
         with _checkpointer() as ckptr:
-            return ckptr.restore(os.path.join(path, "params"))
+            return _check_config(ckptr.restore(os.path.join(path, "params")), config, path)
     step = latest_step(path)
     if step is not None:
         path = os.path.join(path, f"step_{step:08d}")
     with _checkpointer() as ckptr:
         state = ckptr.restore(path)
     if isinstance(state, dict) and "params" in state:
-        return _checked_params(state["params"], path)
+        return _check_config(_checked_params(state["params"], path), config, path)
     # orbax restores NamedTuples as sequences/dicts depending on save form;
     # TrainState order is (params, opt_state, step).
     if isinstance(state, (list, tuple)) and len(state) == 3:
-        return _checked_params(state[0], path)
-    return state
+        return _check_config(_checked_params(state[0], path), config, path)
+    return _check_config(state, config, path)
+
+
+def _check_config(tree: Any, config: Optional[DANConfig], path: str) -> Any:
+    """When a config is supplied, verify the restored tree's structure and
+    leaf shapes against what that config's detector would initialize — a
+    checkpoint from a different architecture fails loudly here instead of
+    erroring deep inside the first forward pass."""
+    if config is None:
+        return tree
+    import jax
+
+    from dan_tpu.models.detector import init_detector_params
+
+    want = jax.eval_shape(
+        lambda: init_detector_params(jax.random.PRNGKey(0), config.model)
+    )
+    want_shapes = {
+        jax.tree_util.keystr(k): v.shape
+        for k, v in jax.tree_util.tree_flatten_with_path(want)[0]
+    }
+    got_shapes = {
+        jax.tree_util.keystr(k): getattr(v, "shape", None)
+        for k, v in jax.tree_util.tree_flatten_with_path(tree)[0]
+    }
+    if want_shapes != got_shapes:
+        extra = set(got_shapes) - set(want_shapes)
+        missing = set(want_shapes) - set(got_shapes)
+        diff = {
+            k: (want_shapes[k], got_shapes[k])
+            for k in set(want_shapes) & set(got_shapes)
+            if want_shapes[k] != got_shapes[k]
+        }
+        raise ValueError(
+            f"checkpoint at {path} does not match the supplied config: "
+            f"missing={sorted(missing)[:5]} extra={sorted(extra)[:5]} "
+            f"shape_mismatches={dict(list(diff.items())[:5])}"
+        )
+    return tree
 
 
 def _checked_params(tree: Any, path: str) -> Any:

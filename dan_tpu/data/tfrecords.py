@@ -87,7 +87,7 @@ def convert_to_tfrecords(
             if img is None:
                 raise ValueError(f"undecodable image: {rec.path}")
             h, w = img.shape[:2]
-            example = __import__("tensorflow").train.Example(
+            example = tf.train.Example(
                 features=_features(rec, encoded, h, w)
             )
             writers[i % num_shards].write(example.SerializeToString())
@@ -97,9 +97,9 @@ def convert_to_tfrecords(
     return paths
 
 
-def read_tfrecords(paths: List[str]) -> Iterator[ImageRecord]:
-    """Parse TFRecords back into ImageRecords (image stays on disk as the
-    serialized JPEG; callers decode via cv2.imdecode when needed)."""
+def read_tfrecords(paths: List[str]) -> Iterator[Tuple[ImageRecord, bytes]]:
+    """Parse TFRecords back into (ImageRecord, jpeg_bytes) pairs (callers
+    decode via cv2.imdecode when needed)."""
     import tensorflow as tf
 
     spec = {

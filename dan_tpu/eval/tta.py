@@ -104,7 +104,16 @@ def plan_variants(h: int, w: int, config: DANConfig) -> List[Variant]:
         else:
             gate = Variant(scale=s, flip=False, min_size=tta.large_box_min_size)
         variants.append(gate)
-    return variants
+    # The bucket cap can collapse several st values onto the same absolute
+    # scale (elongated images): identical (scale, flip, gate) variants are
+    # redundant full forward passes — keep the first of each.
+    seen = set()
+    unique = []
+    for v in variants:
+        if v not in seen:
+            seen.add(v)
+            unique.append(v)
+    return unique
 
 
 def variant_gate(
@@ -250,7 +259,7 @@ class TTARunner:
         self._bucket_fns[key] = fn
         return fn
 
-    def _get_vote_fn(self, n_in: int = 0):
+    def _get_vote_fn(self):
         """One jitted vote fn (jit itself caches per input shape)."""
         if self._vote_fn is None:
             cfg = self.config
@@ -291,12 +300,15 @@ class TTARunner:
             bucket = pick_bucket(max(h, w) * v.scale, self.config.tta.buckets)
             canvas = canvas_bucket(max(h, w), self.config.tta.buckets)
             groups.setdefault((bucket, canvas), []).append(v)
-        for (bucket, canvas_size), vs in groups.items():
-            canvas = np.zeros((canvas_size, canvas_size, 3), np.uint8)
-            canvas[:h, :w] = image
-            # One H2D of the canvas; replicate on device (H2D of the
-            # n-fold broadcast costs n x the bytes over the axon tunnel).
-            canvas_dev = jax.device_put(canvas)
+        # One canvas + ONE H2D for the whole image: canvas_bucket depends
+        # only on (h, w), so every bucket group shares the same canvas
+        # (replicating on device is free; re-uploading per group is not —
+        # H2D rides the ~12 MB/s axon tunnel here).
+        canvas_size = canvas_bucket(max(h, w), self.config.tta.buckets)
+        canvas = np.zeros((canvas_size, canvas_size, 3), np.uint8)
+        canvas[:h, :w] = image
+        canvas_dev = jax.device_put(canvas)
+        for (bucket, _), vs in groups.items():
             fn = self._get_bucket_fn(bucket)
             n = len(vs)
             boxes, scores, valid = fn(
@@ -318,7 +330,7 @@ class TTARunner:
         boxes = np.concatenate(all_boxes)
         scores = np.concatenate(all_scores)
         valid = np.concatenate(all_valid)
-        vote = self._get_vote_fn(len(boxes))(
+        vote = self._get_vote_fn()(
             jnp.asarray(boxes), jnp.asarray(scores), jnp.asarray(valid)
         )
         keep = np.asarray(vote.valid)
@@ -441,7 +453,7 @@ class TTARunner:
             boxes = np.concatenate([d[0] for d in dets])
             scores = np.concatenate([d[1] for d in dets])
             valid = np.concatenate([d[2] for d in dets])
-            vote = self._get_vote_fn(len(boxes))(
+            vote = self._get_vote_fn()(
                 jnp.asarray(boxes), jnp.asarray(scores), jnp.asarray(valid)
             )
             keep = np.asarray(vote.valid)

@@ -6,7 +6,9 @@ TPU-native conventions:
     for bit-parity with the TF1 reference on stride-2 convs (SURVEY.md §7
     'Bit-compatibility vs TF1');
   * bf16 compute with f32 params: params stay f32, activations are cast by
-    the caller; convs accumulate in f32 via preferred_element_type.
+    the caller. Convs deliberately do NOT pin preferred_element_type — see
+    conv2d's docstring (it breaks conv-transpose autodiff for mixed
+    dtypes); the MXU accumulates bf16 matmuls in f32 internally anyway.
 
 Params are plain nested dicts (pytrees): {'kernel': (kh, kw, cin, cout),
 'bias': (cout,)} — trivially checkpointable and importable from TF ckpts.

@@ -22,7 +22,7 @@ import jax.numpy as jnp
 
 from dan_tpu.config import ModelConfig
 from dan_tpu.models.layers import conv2d, conv_init, upsample2x
-from dan_tpu.models.vgg import TAP_CHANNELS, TAP_NAMES
+from dan_tpu.models.vgg import TAP_NAMES, raw_tap_channels
 
 # Top-down order: (higher_tap, lower_tap).  The fused channel width of each
 # lower tap comes from ModelConfig.lfpn_channels (ordered conv3_3, conv4_3,
@@ -44,7 +44,7 @@ def _pair_channels(config: ModelConfig):
 
 def init_lfpn_params(key, config: ModelConfig) -> Dict:
     params: Dict = {}
-    tap_ch = dict(zip(TAP_NAMES, TAP_CHANNELS))
+    tap_ch = dict(zip(TAP_NAMES, raw_tap_channels(config)))
     pairs = _pair_channels(config)
     keys = jax.random.split(key, 2 * len(pairs))
     for i, (hi, lo, lo_ch) in enumerate(pairs):

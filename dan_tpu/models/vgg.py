@@ -34,14 +34,30 @@ VGG_BLOCKS: Tuple[Tuple[Tuple[str, int], ...], ...] = (
 )
 
 TAP_NAMES = ("conv3_3", "conv4_3", "conv5_3", "fc7", "conv6_2", "conv7_2")
+# Default tap widths (ModelConfig defaults); kept as a reference constant —
+# internal code derives widths from the config via raw_tap_channels so the
+# ModelConfig channel fields stay one-line changes.
 TAP_CHANNELS = (256, 512, 512, 1024, 512, 256)
+
+
+def raw_tap_channels(config: "ModelConfig"):
+    """Backbone tap widths straight from the config: the VGG conv taps are
+    architecturally fixed (conv3_3/4_3/5_3 = 256/512/512), fc7 and the
+    extra-block outputs are ModelConfig fields."""
+    extras = tuple(out for _, out in config.extra_channels)
+    ch = (256, 512, 512, config.fc7_channels) + extras
+    assert len(ch) == len(TAP_NAMES), (
+        "the 6-scale head contract needs exactly 2 extra blocks; got "
+        f"{len(config.extra_channels)}"
+    )
+    return ch
 
 
 def effective_tap_channels(config: "ModelConfig"):
     """Tap widths as seen by the heads/L2Norm: the three shallow taps carry
     the LFPN-fused width (config.lfpn_channels, ordered conv3_3, conv4_3,
     conv5_3); deep taps pass through unchanged."""
-    ch = dict(zip(TAP_NAMES, TAP_CHANNELS))
+    ch = dict(zip(TAP_NAMES, raw_tap_channels(config)))
     for name, c in zip(("conv3_3", "conv4_3", "conv5_3"), config.lfpn_channels):
         ch[name] = c
     return tuple(ch[n] for n in TAP_NAMES)
@@ -51,7 +67,7 @@ def init_vgg_params(key, config: ModelConfig) -> Dict:
     """Initialize the full backbone parameter tree."""
     params: Dict = {}
     cin = 3
-    n_convs = sum(len(b) for b in VGG_BLOCKS) + 6
+    n_convs = sum(len(b) for b in VGG_BLOCKS) + 2 + 2 * len(config.extra_channels)
     keys = list(jax.random.split(key, n_convs))
     ki = 0
     for block in VGG_BLOCKS:
