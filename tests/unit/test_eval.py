@@ -157,6 +157,21 @@ class TestTTAPlan:
             else:
                 assert v.min_size > 0
 
+    def test_capped_duplicates_deduped(self):
+        """An elongated image whose bucket cap collapses several st values
+        onto the same absolute scale must not plan identical variants
+        (each would be a redundant full forward pass)."""
+        variants = plan_variants(100, 8192, self.CFG)
+        assert len(variants) == len(set(variants))
+
+    def test_exact_scale_one_is_not_an_enlarging_pass(self):
+        """s == 1.0 exactly (cap/shrink rounding) did not enlarge the
+        image: it must keep LARGE boxes (min_size gate), per the strict
+        bt > 1 rule."""
+        for v in plan_variants(640, 640, self.CFG):
+            if v.scale == 1.0 and (v.min_size > 0 or v.max_size < np.inf):
+                assert v.min_size > 0 and v.max_size == np.inf
+
     def test_pick_bucket(self):
         assert pick_bucket(100, (256, 640)) == 256
         assert pick_bucket(500, (256, 640)) == 640
