@@ -108,12 +108,20 @@ def main():
     print(f"tpu: {ips:.2f} img/s/chip", file=sys.stderr)
 
     # --- CPU stand-in baseline (cached; measured at the SAME batch size so
-    # the ratio is batch-matched — VERDICT r1 weak item 2) ---
+    # the ratio is batch-matched — VERDICT r1 weak item 2). The cache is
+    # also keyed on a config fingerprint so model/postprocess config
+    # changes invalidate it (code-only pipeline changes still require
+    # deleting BENCH_CPU_BASELINE.json by hand — noted in the file). ---
+    import hashlib
+
+    cfg_fp = hashlib.sha256(repr(cfg).encode()).hexdigest()[:16]
     cpu_ips = None
     if os.path.exists(CPU_BASELINE_CACHE):
         try:
             cached = json.load(open(CPU_BASELINE_CACHE))
-            if cached.get("batch") == BATCH:
+            if cached.get("batch") == BATCH and (
+                cached.get("config_fp", cfg_fp) == cfg_fp
+            ):
                 cpu_ips = cached["images_per_sec"]
         except Exception:
             cpu_ips = None
@@ -139,8 +147,11 @@ def main():
                 {
                     "images_per_sec": cpu_ips,
                     "batch": BATCH,
+                    "config_fp": cfg_fp,
                     "note": "640x640 detect pipeline on host CPU "
-                    "(TF1-on-CPU stand-in), batch-matched to the TPU run",
+                    "(TF1-on-CPU stand-in), batch-matched to the TPU run; "
+                    "delete this file to re-measure after pipeline-code "
+                    "changes (config changes invalidate it automatically)",
                 },
                 open(CPU_BASELINE_CACHE, "w"),
             )

@@ -159,6 +159,15 @@ class PreprocessConfig:
     # when the mount appears].  Under vmap the switch computes all four
     # branches, ~4x the elementwise cost — parity runs only.
     color_distort_order: str = "fixed"
+    # Bilinear sampling rule for EVERY resample (train crop, eval squash,
+    # TTA pyramid).  'half_pixel': src = (dst+0.5)/scale-0.5 (TF2 /
+    # half_pixel_centers=True — the current default and what all measured
+    # numbers/goldens use).  'tf1_legacy': src = dst/scale (TF1
+    # resize_images default, align_corners=False) — if the reference used
+    # stock TF1 resize, bit-parity with its trained ckpt needs this
+    # switch.  [?] verify which the reference passes when the mount
+    # appears; this is a one-line config flip either way.
+    resize_semantics: str = "half_pixel"
     flip_prob: float = 0.5
     # Drop gt boxes whose center falls outside the crop / degenerate boxes.
     min_box_size: float = 1.0  # pixels at the sampled scale [?]

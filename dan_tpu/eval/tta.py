@@ -199,6 +199,7 @@ class TTARunner:
                 0.0,
                 x_off,
                 region=(0.0, src_h, x_off, x_off + src_w),
+                semantics=cfg.preprocess.resize_semantics,
             )
             net_in = normalize_image(resized, cfg.preprocess)
             cls_logits, loc_preds = detector_forward(
@@ -208,18 +209,10 @@ class TTARunner:
             boxes = decode_boxes(
                 loc_preds[0], anchors, cfg.anchors.prior_scaling, out_h, out_w
             )
-            bw = boxes[:, 2] - boxes[:, 0]
-            bh = boxes[:, 3] - boxes[:, 1]
-            keep = (
-                (scores >= cfg.postprocess.score_threshold)
-                & (bw > 1.0)
-                & (bh > 1.0)
-            )
-            scores = jnp.where(keep, scores, 0.0)
-            from dan_tpu.ops.nms import topk_select
+            from dan_tpu.ops.postprocess import filter_and_topk
 
-            boxes_k, scores_k = topk_select(
-                boxes, scores, cfg.postprocess.pre_nms_topk
+            boxes_k, scores_k = filter_and_topk(
+                boxes, scores, cfg.postprocess
             )
             return boxes_k, scores_k, out_w
 

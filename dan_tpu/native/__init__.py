@@ -41,8 +41,20 @@ def _load_lib(name: str, link_flags: Sequence[str] = ()) -> Optional[ctypes.CDLL
             return _libs[name]
         src = os.path.join(os.path.dirname(__file__), f"{name}.cc")
         try:
+            # Key the cache on toolchain + machine too: -march=native
+            # binaries from a different host (shared cache dir, restored
+            # image) would SIGILL instead of rebuilding.
+            try:
+                gxx = subprocess.run(
+                    ["g++", "--version"], capture_output=True, text=True
+                ).stdout.splitlines()[0]
+            except Exception:
+                gxx = "unknown"
+            key = os.uname().machine + "|" + gxx + "|"
             with open(src, "rb") as f:
-                digest = hashlib.sha256(f.read()).hexdigest()[:16]
+                digest = hashlib.sha256(
+                    key.encode() + f.read()
+                ).hexdigest()[:16]
             cache_dir = os.environ.get(
                 "DAN_TPU_NATIVE_CACHE",
                 os.path.expanduser("~/.cache/dan_tpu_native"),
@@ -135,6 +147,10 @@ def jpeg_exif_orientation(buf: bytes) -> Optional[int]:
         while i + 4 <= len(buf):
             if buf[i] != 0xFF:
                 return None
+            # Any number of 0xFF fill bytes may pad a marker (JPEG spec);
+            # treat runs of 0xFF as one marker prefix.
+            while i + 4 <= len(buf) and buf[i + 1] == 0xFF:
+                i += 1
             marker = buf[i + 1]
             if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
                 i += 2

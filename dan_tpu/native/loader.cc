@@ -18,6 +18,7 @@
 // Build: g++ -O3 -shared -fPIC loader.cc -ljpeg (see native/__init__.py).
 
 #include <csetjmp>
+#include <cstdlib>
 #include <cstdio>
 #include <cstring>
 #include <atomic>
@@ -94,7 +95,16 @@ int dan_jpeg_decode_window(const unsigned char* buf, long long nbytes,
                            int off_x, int off_y, int win_w, int win_h,
                            unsigned char* dst, long long dst_stride) {
   Decoder d;
-  if (setjmp(d.jerr.setjmp_buffer)) return kDecodeError;
+  // The row buffer is raw malloc'd storage freed on BOTH exits: a longjmp
+  // from error_exit would skip the destructor of any C++ object
+  // constructed after setjmp (heap leak per corrupt image, and formally
+  // UB), so no such object may own memory here. volatile: the pointer is
+  // written between setjmp and longjmp.
+  unsigned char* volatile rowmem = nullptr;
+  if (setjmp(d.jerr.setjmp_buffer)) {
+    std::free(rowmem);
+    return kDecodeError;
+  }
   jpeg_mem_src(&d.cinfo, buf, static_cast<unsigned long>(nbytes));
   if (jpeg_read_header(&d.cinfo, TRUE) != JPEG_HEADER_OK) return kBadHeader;
   const int W = static_cast<int>(d.cinfo.image_width);
@@ -114,22 +124,26 @@ int dan_jpeg_decode_window(const unsigned char* buf, long long nbytes,
   JDIMENSION cw = static_cast<JDIMENSION>(win_w);
   jpeg_crop_scanline(&d.cinfo, &cx, &cw);
   const int row_off = (off_x - static_cast<int>(cx)) * 3;
-  std::vector<unsigned char> row(static_cast<size_t>(cw) * 3);
+  rowmem = static_cast<unsigned char*>(
+      std::malloc(static_cast<size_t>(cw) * 3));
+  if (rowmem == nullptr) return kDecodeError;
+  unsigned char* rowbuf = rowmem;
 
   if (off_y > 0)
     jpeg_skip_scanlines(&d.cinfo, static_cast<JDIMENSION>(off_y));
-  unsigned char* rowbuf = row.data();
   for (int y = 0; y < win_h; ++y) {
     if (jpeg_read_scanlines(&d.cinfo, &rowbuf, 1) != 1) {
       jpeg_abort_decompress(&d.cinfo);
+      std::free(rowmem);
       return kDecodeError;
     }
-    std::memcpy(dst + static_cast<long long>(y) * dst_stride, row.data() + row_off,
-                static_cast<size_t>(win_w) * 3);
+    std::memcpy(dst + static_cast<long long>(y) * dst_stride,
+                rowbuf + row_off, static_cast<size_t>(win_w) * 3);
   }
   // Skip the tail instead of jpeg_finish_decompress (which requires all
   // scanlines consumed); abort tears the decode state down cleanly.
   jpeg_abort_decompress(&d.cinfo);
+  std::free(rowmem);
   return kOk;
 }
 
@@ -183,6 +197,7 @@ void dan_decode_batch(const unsigned char* const* bufs,
       status[i] = rc;
     }
   };
+  if (n <= 0) return;  // reserve(t-1) below would wrap to SIZE_MAX
   int t = nthreads < 1 ? 1 : nthreads;
   if (t > n) t = n;
   std::vector<std::thread> pool;

@@ -44,21 +44,32 @@ def _run_nms(boxes, scores, post_config: PostprocessConfig):
     )
 
 
+def filter_and_topk(
+    boxes: jnp.ndarray,
+    scores: jnp.ndarray,
+    post_config: PostprocessConfig,
+):
+    """THE score/degenerate-box filter + pre-NMS top-k (one definition:
+    drop sub-threshold and degenerate-after-clip boxes — zero-area boxes
+    have IoU 0 with everything and would all survive greedy NMS —
+    reference `select_bboxes` semantics [K]). Every detection path
+    (single-image, batched, TTA) goes through this function, so a
+    semantics change can never make the paths drift."""
+    w = boxes[..., 2] - boxes[..., 0]
+    h = boxes[..., 3] - boxes[..., 1]
+    keep = (scores >= post_config.score_threshold) & (w > 1.0) & (h > 1.0)
+    scores = jnp.where(keep, scores, 0.0)
+    return topk_select(boxes, scores, post_config.pre_nms_topk)
+
+
 def score_filter_topk_nms(
     boxes: jnp.ndarray,
     scores: jnp.ndarray,
     post_config: PostprocessConfig,
 ):
-    """Shared tail of every detection path: drop sub-threshold and
-    degenerate-after-clip boxes (zero-area boxes have IoU 0 with everything
-    and would all survive greedy NMS — reference `select_bboxes` semantics
-    [K]), pre-NMS top-k, then greedy NMS.  Used by both the single-image
-    detect path and the TTA variants so the two can never drift."""
-    w = boxes[..., 2] - boxes[..., 0]
-    h = boxes[..., 3] - boxes[..., 1]
-    keep = (scores >= post_config.score_threshold) & (w > 1.0) & (h > 1.0)
-    scores = jnp.where(keep, scores, 0.0)
-    boxes_k, scores_k = topk_select(boxes, scores, post_config.pre_nms_topk)
+    """Shared tail of the per-image detection paths: filter_and_topk, then
+    greedy NMS."""
+    boxes_k, scores_k = filter_and_topk(boxes, scores, post_config)
     return _run_nms(boxes_k, scores_k, post_config)
 
 
@@ -109,13 +120,7 @@ def postprocess_batch(
                 loc_p, anchors_center, anchor_config.prior_scaling,
                 image_h, image_w,
             )
-            w = boxes[..., 2] - boxes[..., 0]
-            h = boxes[..., 3] - boxes[..., 1]
-            keep = (
-                (scores >= post_config.score_threshold) & (w > 1.0) & (h > 1.0)
-            )
-            scores = jnp.where(keep, scores, 0.0)
-            return topk_select(boxes, scores, post_config.pre_nms_topk)
+            return filter_and_topk(boxes, scores, post_config)
 
         boxes_k, scores_k = jax.vmap(prep)(cls_logits, loc_preds)
         res = greedy_nms_pallas_batched(

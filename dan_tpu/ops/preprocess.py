@@ -191,11 +191,15 @@ def _bilinear_weights(
     offset,
     region_lo=None,
     region_hi=None,
+    semantics: str = "half_pixel",
 ) -> jnp.ndarray:
-    """(out_len, src_len) interpolation matrix reproducing TF half-pixel
-    bilinear (no antialias) EXACTLY, including edge handling: output o
-    samples input at
-        src(o) = (o + 0.5) / scale + offset - 0.5
+    """(out_len, src_len) interpolation matrix reproducing TF bilinear
+    (no antialias) EXACTLY, including edge handling: output o samples
+    input at
+        src(o) = (o + 0.5) / scale + offset - 0.5   (semantics='half_pixel')
+        src(o) =  o / scale + offset                (semantics='tf1_legacy':
+                  TF1 resize_images default, align_corners=False — see
+                  PreprocessConfig.resize_semantics [?])
     with neighbor indices floor/floor+1 CLAMPED into the valid region
     [region_lo, region_hi) (TF's gather-with-clipped-indices boundary
     rule), and all-zero rows when src is more than one pixel outside the
@@ -207,7 +211,10 @@ def _bilinear_weights(
     lo_b = jnp.float32(0.0 if region_lo is None else region_lo)
     hi_b = jnp.float32(float(src_len) if region_hi is None else region_hi)
     o = jnp.arange(out_len, dtype=jnp.float32)
-    src = (o + 0.5) / scale + offset - 0.5  # (out,)
+    if semantics == "tf1_legacy":
+        src = o / scale + offset  # (out,)
+    else:
+        src = (o + 0.5) / scale + offset - 0.5  # (out,)
     lo = jnp.floor(src)
     f = src - lo
     valid = (src > lo_b - 1.0) & (src < hi_b)
@@ -238,12 +245,15 @@ def bilinear_resample(
     y0=0.0,
     x0=0.0,
     region=None,
+    semantics: str = "half_pixel",
 ) -> jnp.ndarray:
     """General separable bilinear resample as two MXU matmuls.
 
     Output pixel (oy, ox) samples input at
         ((oy + 0.5) / scale_y + y0 - 0.5, (ox + 0.5) / scale_x + x0 - 0.5)
-    — TF half-pixel bilinear (no antialias), edge-clamped inside `region`
+    — TF half-pixel bilinear (no antialias; semantics='tf1_legacy' instead
+    samples oy / scale_y + y0, the TF1 resize_images default rule — see
+    PreprocessConfig.resize_semantics), edge-clamped inside `region`
     = (y_lo, y_hi, x_lo, x_hi) (traced ok; default whole input), zeros
     outside it.
 
@@ -254,8 +264,8 @@ def bilinear_resample(
     """
     h, w, c = image.shape
     y_lo, y_hi, x_lo, x_hi = region if region is not None else (None,) * 4
-    wy = _bilinear_weights(h, out_h, scale_y, y0, y_lo, y_hi)  # (out_h, H)
-    wx = _bilinear_weights(w, out_w, scale_x, x0, x_lo, x_hi)  # (out_w, W)
+    wy = _bilinear_weights(h, out_h, scale_y, y0, y_lo, y_hi, semantics)
+    wx = _bilinear_weights(w, out_w, scale_x, x0, x_lo, x_hi, semantics)
     tmp = jnp.dot(
         wy, image.astype(jnp.float32).reshape(h, w * c),
         preferred_element_type=jnp.float32,
@@ -270,6 +280,7 @@ def crop_and_resize(
     image: jnp.ndarray,
     crop: CropParams,
     out_size: int,
+    semantics: str = "half_pixel",
 ) -> jnp.ndarray:
     """Sample a square crop window to a fixed (out_size, out_size).
 
@@ -292,6 +303,7 @@ def crop_and_resize(
         crop.y0,
         crop.x0,
         region=(crop.y0, crop.y0 + crop.size, crop.x0, crop.x0 + crop.size),
+        semantics=semantics,
     )
 
 
@@ -382,7 +394,7 @@ def train_preprocess_one(
     size = cfg.train_image_size
     k_color, k_flip = jax.random.split(key)
     img = canvas_u8.astype(jnp.float32) / 255.0
-    img = crop_and_resize(img, crop, size)
+    img = crop_and_resize(img, crop, size, cfg.resize_semantics)
     boxes, mask = transform_boxes(boxes, mask, crop, size, cfg.min_box_size)
     img = color_distort(img, k_color, cfg)
     do_flip = jax.random.bernoulli(k_flip, cfg.flip_prob)

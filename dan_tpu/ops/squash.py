@@ -22,10 +22,13 @@ def squash_resize(
     out_h: int,
     out_w: int,
     method: str = "bilinear",
+    semantics: str = "half_pixel",
 ) -> jnp.ndarray:
     """(C, C, 3) float canvas -> (out_h, out_w, 3): resizes the top-left
     (src_h, src_w) region to fill the output (MXU matmul resample),
-    edge-clamping at the true image extent like TF resize."""
+    edge-clamping at the true image extent like TF resize.  `semantics`
+    follows PreprocessConfig.resize_semantics ('half_pixel' | 'tf1_legacy'
+    [?])."""
     return bilinear_resample(
         canvas,
         out_h,
@@ -33,6 +36,7 @@ def squash_resize(
         out_h / src_h,
         out_w / src_w,
         region=(0.0, src_h, 0.0, src_w),
+        semantics=semantics,
     )
 
 
@@ -45,6 +49,7 @@ def eval_preprocess(
 ) -> jnp.ndarray:
     """uint8 canvas -> normalized f32 (out_size, out_size, 3) network input."""
     img = squash_resize(
-        canvas_u8.astype(jnp.float32), src_h, src_w, out_size, out_size
+        canvas_u8.astype(jnp.float32), src_h, src_w, out_size, out_size,
+        semantics=cfg.resize_semantics,
     )
     return normalize_image(img, cfg)

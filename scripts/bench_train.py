@@ -61,7 +61,7 @@ def main():
         state, metrics = step(state, batch)
     float(metrics["loss"])  # fence the FIFO queue
     dt = time.perf_counter() - t0
-    ips = args.iters * args.batch * n_chips / dt / n_chips
+    ips = args.iters * args.batch / dt  # args.batch is per-chip
     print(
         f"train batch={args.batch}/chip x {n_chips} chip(s): "
         f"{ips:.2f} img/s/chip ({dt / args.iters * 1000:.2f} ms/step)"

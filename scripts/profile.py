@@ -24,7 +24,7 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 import numpy as np
 
 
-def _trace_detect(batch, trace_dir):
+def _trace_detect(batch, trace_dir, iters):
     import jax
     import jax.numpy as jnp
 
@@ -52,13 +52,13 @@ def _trace_detect(batch, trace_dir):
     ips = 10 * batch / (time.perf_counter() - t0)
     print(f"detect batch={batch}: {ips:.1f} img/s", file=sys.stderr)
     jax.profiler.start_trace(trace_dir)
-    for _ in range(3):
+    for _ in range(iters):
         out = detect(params, images)
     bench._sync(out)
     jax.profiler.stop_trace()
 
 
-def _trace_train(batch, trace_dir):
+def _trace_train(batch, trace_dir, iters):
     import jax
 
     from dan_tpu.config import default_config
@@ -80,7 +80,7 @@ def _trace_train(batch, trace_dir):
     ips = 10 * batch / (time.perf_counter() - t0)
     print(f"train batch={batch}: {ips:.1f} img/s/chip", file=sys.stderr)
     jax.profiler.start_trace(trace_dir)
-    for _ in range(3):
+    for _ in range(iters):
         state, m = step(state, b)
     float(m["loss"])
     jax.profiler.stop_trace()
@@ -122,7 +122,7 @@ def main():
     enable_compilation_cache()
     trace_dir = tempfile.mkdtemp(prefix="dan_xprof_")
     (_trace_detect if args.graph == "detect" else _trace_train)(
-        batch, trace_dir
+        batch, trace_dir, args.iters_traced
     )
 
     rows = _hlo_stats_rows(trace_dir)

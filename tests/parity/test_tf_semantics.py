@@ -48,6 +48,33 @@ class TestResizeParity:
         want = tf.image.resize(img, (out, out), "bilinear", antialias=False).numpy()
         np.testing.assert_allclose(got, want, rtol=1e-4, atol=5e-2)
 
+    def test_tf1_legacy_resize_semantics(self, rng):
+        """resize_semantics='tf1_legacy' must reproduce TF1's
+        resize_images default (align_corners=False, half_pixel_centers=
+        False: src = dst*scale) — the rule a stock-TF1 reference would
+        have trained under [?]."""
+        from dan_tpu.ops.squash import squash_resize
+
+        for src_h, src_w, out in [(48, 64, 96), (100, 80, 40), (33, 57, 64)]:
+            img = rng.uniform(0, 255, (src_h, src_w, 3)).astype(np.float32)
+            got = np.asarray(
+                squash_resize(
+                    jnp.asarray(img),
+                    jnp.float32(src_h),
+                    jnp.float32(src_w),
+                    out,
+                    out,
+                    semantics="tf1_legacy",
+                )
+            )
+            want = (
+                tf.compat.v1.image.resize_images(
+                    img[None], (out, out), align_corners=False
+                )
+                .numpy()[0]
+            )
+            np.testing.assert_allclose(got, want, rtol=1e-4, atol=5e-2)
+
     def test_crop_resize_identity_region(self, rng):
         # crop window == whole image -> plain resize.
         img = rng.uniform(0, 255, (48, 48, 3)).astype(np.float32)
