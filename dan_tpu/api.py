@@ -71,7 +71,7 @@ class Detector:
         def one(params, canvas_u8, src_h, src_w):
             img = eval_preprocess(canvas_u8, src_h, src_w, size, cfg.preprocess)
             cls_logits, loc_preds = detector_forward(
-                params, img[None], cfg.model
+                params, img[None], cfg.model, for_inference=True
             )
             det = postprocess_one(
                 cls_logits[0],

@@ -123,6 +123,17 @@ class ModelConfig:
     # see models/vgg.py::conv1_block_packed.  Auto-falls back to the
     # standard path for odd H/W.
     conv1_packed: bool = True
+    # On INFERENCE graphs on the TPU backend, fuse packed conv1_2 with the
+    # phase-pool in a Pallas kernel (ops/conv1_pallas.py).  The kernel
+    # beats the standalone XLA twin by ~25% on v5e (parity-tested), but in
+    # the FULL detect graph XLA inserts a 20 ms relayout copy to feed it
+    # (conv output layout {3,0,2,1} vs Pallas row-major — BASELINE.md r2
+    # profile), so the default stays OFF until the conv1_1-fused v2 (whose
+    # im2col input comes from a layout-free elementwise fusion) lands.
+    # Training always keeps the XLA path (the kernel has no VJP; the
+    # custom-VJP phase pool covers the backward).  Non-TPU backends
+    # auto-fall back to the XLA path.
+    conv1_pallas_infer: bool = False
 
 
 @dataclasses.dataclass(frozen=True)

@@ -203,7 +203,7 @@ class TTARunner:
             )
             net_in = normalize_image(resized, cfg.preprocess)
             cls_logits, loc_preds = detector_forward(
-                params, net_in[None], cfg.model
+                params, net_in[None], cfg.model, for_inference=True
             )
             scores = jax.nn.softmax(cls_logits[0], axis=-1)[:, 1]
             boxes = decode_boxes(

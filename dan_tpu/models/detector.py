@@ -44,15 +44,21 @@ def init_detector_params(key, config: ModelConfig) -> Dict:
 
 
 def detector_forward(
-    params: Dict, images: jnp.ndarray, config: ModelConfig
+    params: Dict,
+    images: jnp.ndarray,
+    config: ModelConfig,
+    for_inference: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """(B, H, W, 3) f32 -> (cls_logits (B, A, 2) f32, loc_preds (B, A, 4) f32).
 
     A = sum over layers of H_l * W_l (one anchor per position), in the same
     order as dan_tpu.box.anchors.generate_anchors.
+
+    for_inference: caller guarantees no gradients flow through this call —
+    lets the backbone use inference-only fused kernels (see vgg_forward).
     """
     x = images.astype(jnp.dtype(config.compute_dtype))
-    taps = vgg_forward(params["backbone"], x, config)
+    taps = vgg_forward(params["backbone"], x, config, for_inference)
     taps = lfpn_forward(params["lfpn"], taps, config)
     # L2-normalize shallow (post-LFPN) taps before the heads
     # [K — S3FD normalizes conv3_3/4_3/5_3; PyramidBox normalizes the fused

@@ -88,15 +88,34 @@ def init_vgg_params(key, config: ModelConfig) -> Dict:
     return params
 
 
-def vgg_forward(params: Dict, x: jnp.ndarray, config: ModelConfig) -> Dict[str, jnp.ndarray]:
+def vgg_forward(
+    params: Dict,
+    x: jnp.ndarray,
+    config: ModelConfig,
+    for_inference: bool = False,
+) -> Dict[str, jnp.ndarray]:
     """Run the backbone; returns the six detection taps by name.
 
     x: (B, H, W, 3) in compute dtype (mean-subtracted pixels).
+    for_inference: the caller guarantees no gradients flow (detect/eval
+    graphs) — enables the fused Pallas conv1 kernel (no VJP) on TPU.
     """
     taps: Dict[str, jnp.ndarray] = {}
     for bi, block in enumerate(VGG_BLOCKS):
         if bi == 0 and config.conv1_packed and x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0:
-            x = conv1_block_packed(params, x)
+            if (
+                for_inference
+                and config.conv1_pallas_infer
+                and x.shape[1] // 2 % 8 == 0
+                and x.shape[2] // 2 % 8 == 0
+                and x.shape[2] // 2 >= 16
+                and jax.default_backend() == "tpu"
+            ):
+                from dan_tpu.ops.conv1_pallas import conv1_block_packed_pallas
+
+                x = conv1_block_packed_pallas(params, x)
+            else:
+                x = conv1_block_packed(params, x)
             continue
         for name, _ in block:
             x = conv2d(params[name], x)
