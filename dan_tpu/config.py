@@ -123,17 +123,26 @@ class ModelConfig:
     # see models/vgg.py::conv1_block_packed.  Auto-falls back to the
     # standard path for odd H/W.
     conv1_packed: bool = True
-    # On INFERENCE graphs on the TPU backend, fuse packed conv1_2 with the
-    # phase-pool in a Pallas kernel (ops/conv1_pallas.py).  The kernel
-    # beats the standalone XLA twin by ~25% on v5e (parity-tested), but in
-    # the FULL detect graph XLA inserts a 20 ms relayout copy to feed it
-    # (conv output layout {3,0,2,1} vs Pallas row-major — BASELINE.md r2
-    # profile), so the default stays OFF until the conv1_1-fused v2 (whose
-    # im2col input comes from a layout-free elementwise fusion) lands.
-    # Training always keeps the XLA path (the kernel has no VJP; the
-    # custom-VJP phase pool covers the backward).  Non-TPU backends
-    # auto-fall back to the XLA path.
+    # On INFERENCE graphs on the TPU backend, run the conv1 block as a
+    # Pallas kernel (ops/conv1_pallas.py).  Version 1 fuses packed
+    # conv1_2 + phase-pool (25% faster standalone) but in the FULL detect
+    # graph XLA inserts a 20 ms relayout copy to feed it (conv output
+    # layout {3,0,2,1} vs Pallas row-major — BASELINE.md r2 profile), so
+    # v1 in-graph is a net LOSS.  Version 2 additionally fuses conv1_1:
+    # its input is a (B, H/2, W/2, 128) im2col built by an elementwise
+    # XLA fusion (which adopts the consumer's layout for free), deleting
+    # both the relayout copy and conv1_1''s HBM round-trip — but the
+    # im2col build itself measured 57 ms @ b32 (lane-sparse gather from
+    # the 3-channel input; BASELINE.md 'v2 results'), so v2 in-graph is
+    # ALSO a net loss and the default stays OFF.  Both kernels are
+    # parity-exact on TPU and stay as the scaling path for a
+    # layout-aware future.  Training always keeps the XLA path (the
+    # kernels have no VJP; the custom-VJP phase pool covers the
+    # backward).  Non-TPU backends auto-fall back.
     conv1_pallas_infer: bool = False
+    # Which fused kernel vgg_forward dispatches when conv1_pallas_infer
+    # is on: 2 (default, conv1_1-fused) or 1 (conv1_2+pool only).
+    conv1_pallas_version: int = 2
 
 
 @dataclasses.dataclass(frozen=True)
@@ -251,7 +260,12 @@ class TrainConfig:
     warmup_steps: int = 0
     # Global-norm gradient clipping; 0 = off (reference-faithful — the
     # reference warm-starts from ImageNet VGG and never needs it; from-
-    # scratch random-init runs at full 640 do [?]).
+    # scratch random-init runs at full 640 do [?]: measured, raw defaults
+    # diverge to nan within ~3 steps at lr 1e-3 (He-init logits reach
+    # |x|~300 on mean-subtracted pixels), while warmup_steps=50 +
+    # grad_clip_norm=10 — what scripts/smoke_e2e.py and the soaks use —
+    # trains cleanly.  Pass --warmup_steps/--grad_clip to scripts/train.py
+    # for any run that does not --warm_start from a VGG checkpoint.
     grad_clip_norm: float = 0.0
     total_steps: int = 120000
     checkpoint_every: int = 2000

@@ -111,9 +111,15 @@ def vgg_forward(
                 and x.shape[2] // 2 >= 16
                 and jax.default_backend() == "tpu"
             ):
-                from dan_tpu.ops.conv1_pallas import conv1_block_packed_pallas
+                from dan_tpu.ops.conv1_pallas import (
+                    conv1_block_packed_pallas,
+                    conv1_block_packed_pallas_v2,
+                )
 
-                x = conv1_block_packed_pallas(params, x)
+                if config.conv1_pallas_version >= 2:
+                    x = conv1_block_packed_pallas_v2(params, x)
+                else:
+                    x = conv1_block_packed_pallas(params, x)
             else:
                 x = conv1_block_packed(params, x)
             continue

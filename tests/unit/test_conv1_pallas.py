@@ -97,6 +97,66 @@ class TestConv1PallasParity:
         want = np.asarray(conv1_block_packed(p, x.astype(jnp.bfloat16)))
         np.testing.assert_allclose(got, want, atol=1e-3)
 
+    @pytest.mark.parametrize(
+        "shape",
+        [
+            (2, 32, 32, 3),  # W=16: minimum width, 2 images
+            (1, 16, 48, 3),  # H=8: single-tile (T==1) path
+            (1, 64, 64, 3),  # multi-tile rows
+            (1, 32, 80, 3),  # W=40: Wp rounding exercises the pad tail
+        ],
+    )
+    def test_v2_matches_packed_xla(self, shape):
+        """v2 (conv1_1 fused in-kernel via the im2col input) must match
+        the XLA packed block just like v1."""
+        rng = np.random.default_rng(7)
+        from dan_tpu.ops.conv1_pallas import conv1_block_packed_pallas_v2
+
+        p = _params(rng)
+        x = jnp.asarray(rng.normal(0, 1, shape).astype(np.float32))
+        want = np.asarray(
+            conv1_block_packed(p, x.astype(jnp.bfloat16)), np.float32
+        )
+        got = np.asarray(
+            conv1_block_packed_pallas_v2(p, x, interpret=True), np.float32
+        )
+        assert got.shape == want.shape
+        np.testing.assert_allclose(got, want, rtol=0.05, atol=0.02)
+
+    def test_im2col_channel_order(self):
+        """im2col patches @ packed kernel == the stride-2 packed conv:
+        locks the (wy*4+wx)*3+c channel convention both sides assume."""
+        rng = np.random.default_rng(13)
+        from dan_tpu.models.vgg import _pack_conv_kernel_stride2
+        from dan_tpu.ops.conv1_pallas import _im2col_s2
+
+        k = jnp.asarray(rng.normal(0, 0.1, (3, 3, 3, 64)).astype(np.float32))
+        x = jnp.asarray(rng.normal(0, 1, (1, 16, 20, 3)).astype(np.float32))
+        kp = _pack_conv_kernel_stride2(k)
+        want = jax.lax.conv_general_dilated(
+            x, kp, (2, 2), ((1, 2), (1, 2)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        im = _im2col_s2(x.astype(jnp.float32))
+        assert im.shape[-1] == 128  # lane-alignment pad; 48.. must be zero
+        np.testing.assert_array_equal(np.asarray(im[..., 48:]), 0.0)
+        got = im[..., :48] @ kp.reshape(48, 256)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), rtol=1e-4, atol=1e-4
+        )
+
+    def test_v2_zero_input_edges(self):
+        """Zero image: output must equal the XLA path exactly (exercises
+        the re-zeroed pad columns and boundary rows in v2)."""
+        rng = np.random.default_rng(11)
+        from dan_tpu.ops.conv1_pallas import conv1_block_packed_pallas_v2
+
+        p = _params(rng)
+        x = jnp.zeros((1, 32, 32, 3), jnp.float32)
+        got = np.asarray(conv1_block_packed_pallas_v2(p, x, interpret=True))
+        want = np.asarray(conv1_block_packed(p, x.astype(jnp.bfloat16)))
+        np.testing.assert_allclose(got, want, atol=1e-3)
+
     def test_inference_dispatch_cpu_falls_back(self):
         """On non-TPU backends vgg_forward(for_inference=True) must use
         the XLA path (the compiled Pallas kernel is TPU-only)."""
