@@ -90,6 +90,21 @@ class TestDetectionLoss:
         )
         assert float(metrics["num_neg_selected"]) == 8  # only true negatives
 
+    def test_select_topk_desc_ties_match_rank_oracle(self, rng):
+        # Heavy ties: values drawn from 4 distinct levels so the cumsum
+        # tie-break path is exercised; oracle = stable double-argsort rank.
+        from dan_tpu.train.loss import _select_topk_desc
+
+        vals = rng.choice([0.0, 1.0, 2.0, 3.0], size=(5, 97)).astype(np.float32)
+        vals[3, :] = -np.inf  # all-masked row
+        ks = np.array([0, 1, 5, 0, 97], np.int32)
+        got = np.asarray(_select_topk_desc(jnp.asarray(vals), jnp.asarray(ks)))
+        for b in range(5):
+            order = np.argsort(-vals[b], kind="stable")
+            ranks = np.argsort(order, kind="stable")
+            want = ranks < ks[b]
+            np.testing.assert_array_equal(got[b], want, err_msg=f"row {b}")
+
     def test_gradients_flow(self, rng):
         cls_logits, loc_preds, cls_targets, loc_targets = self._make_case(rng, B=1, A=32)
         cfg = TrainConfig()

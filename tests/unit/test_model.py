@@ -181,3 +181,4 @@ class TestPackedConv1:
         g = jax.grad(loss)(vgg["conv1_1"]["kernel"])
         assert np.isfinite(np.asarray(g)).all()
         assert float(jnp.abs(g).sum()) > 0.0
+
