@@ -149,20 +149,51 @@ def match_anchors_batch(
     match_config: MatchConfig,
     anchor_config: AnchorConfig,
     use_pallas: bool | None = None,
+    interpret: bool = False,
 ) -> MatchTargets:
-    """vmap of match_anchors over a leading batch dim of gt_boxes/gt_mask.
+    """Per-image map of match_anchors over a leading batch dim.
 
     On TPU this dispatches to the Pallas kernel
     (dan_tpu.ops.matching_pallas) — bit-identical targets, ~10x faster at
     640x640/G=256 than the XLA path (which materializes (A, G) in HBM).
+    The kernel's cost is linear in the padded gt-lane count, and most
+    crops carry far fewer than 128 valid gts, so images whose valid gts
+    all sit in the first 128 slots take a half-width G=128 kernel variant
+    (identical outputs: the dropped lanes are all masked, and every
+    reduction's tie-break prefers lower gt indices, so removing trailing
+    masked lanes cannot change any per-anchor result).  The per-image
+    lax.cond requires a real branch, so the batch dim runs as a
+    lax.map scan rather than vmap (vmap would convert cond to select and
+    execute BOTH kernel variants per image).
     """
     if use_pallas is None:
         use_pallas = jax.default_backend() in ("tpu", "axon")
     if use_pallas:
         from dan_tpu.ops.matching_pallas import match_anchors_pallas
 
+        g = gt_boxes.shape[1]
+        if g > 128:
+            def fn(b, m):
+                small_ok = ~jnp.any(m[128:])
+                return jax.lax.cond(
+                    small_ok,
+                    lambda: match_anchors_pallas(
+                        anchors_center, b[:128], m[:128],
+                        match_config, anchor_config, interpret=interpret,
+                    ),
+                    lambda: match_anchors_pallas(
+                        anchors_center, b, m, match_config, anchor_config,
+                        interpret=interpret,
+                    ),
+                )
+
+            return jax.lax.map(
+                lambda bm: fn(bm[0], bm[1]), (gt_boxes, gt_mask)
+            )
+
         fn = lambda b, m: match_anchors_pallas(  # noqa: E731
-            anchors_center, b, m, match_config, anchor_config
+            anchors_center, b, m, match_config, anchor_config,
+            interpret=interpret,
         )
     else:
         fn = lambda b, m: match_anchors(  # noqa: E731

@@ -306,8 +306,16 @@ def conv1_block_packed(params: Dict, x: jnp.ndarray) -> jnp.ndarray:
 
     k2 = _pack_conv_kernel_2x2_phase(params["conv1_2"]["kernel"]).astype(dt)
     b2 = params["conv1_2"]["bias"].astype(dt)
+    # (B, H/2+1, W/2+1, 256): phase (py, px) valid at offset (py, px).
+    # Backward note: the 2.5 ms/step HBM `reverse` of this conv's 321^2
+    # cotangent is XLA:TPU's WEIGHT-grad idiom (the batch-contraction
+    # conv operand-swaps the correlation, which requires one reversed
+    # operand) — custom-VJP reformulations of both the input grad
+    # (pre-flipped kernel, plain VALID conv) and the weight grad
+    # (explicit CHWN/IHWO conv) were measured at identical step time
+    # (129.88 ms, batch 16), so autodiff keeps the default formulation.
     r = jax.lax.conv_general_dilated(
         o1, k2, (1, 1), ((1, 1), (1, 1)),
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
-    )  # (B, H/2+1, W/2+1, 256): phase (py, px) valid at offset (py, px)
+    )
     return _phase_pool(r, b2)

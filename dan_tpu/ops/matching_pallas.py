@@ -192,6 +192,7 @@ def _assign_kernel(
     anchors_ref,  # (4, A)
     gt_ref,  # (4, G)
     mask_ref,  # (1, G)
+    coords_ref,  # (G, 128) f32: lanes 0..3 = matched-gt (cx, cy, w, h)
     gt_best_anchor_ref,  # (1, G) i32 (from pass 1)
     gt_needs_ref,  # (1, G) f32: 1.0 if scale comp applies
     gt_kth_ref,  # (1, G)
@@ -234,24 +235,28 @@ def _assign_kernel(
         arg.astype(jnp.int32).reshape(1, _TILE_A)
     )
 
-    # Matched gt coordinates selected in-kernel via the one-hot argmax mask
-    # (4 masked reduces over the tile) — a (A, 4) HBM gather here measured
-    # 1.2 ms/step at batch 8 (TPU gathers are element-serial); the values
-    # are bit-identical: f32 sums with exactly one nonzero term, the same
-    # (x1+x2)*0.5 center arithmetic as box.anchors.corner_to_center.
+    # Matched gt coordinates selected in-kernel via ONE MXU matmul of the
+    # one-hot argmax mask against the precomputed (G, 128) coord matrix —
+    # this replaced (i) a (A, 4) HBM gather (1.2 ms/step at batch 8; TPU
+    # gathers are element-serial) and (ii) 4 masked VPU reduces over the
+    # tile (~1 ms/step at batch 16).  Values stay bit-identical: each row
+    # of sel has exactly one 1.0, so every f32 partial-sum term is either
+    # +0.0 or the exact coordinate (Precision.HIGHEST keeps the bf16x
+    # decomposition's hi/mid/lo splits exactly recombinable; x+0 == x).
     sel = col_g == arg  # exactly one true per row (arg is the tie-broken min)
-    gx1 = gt_ref[0:1, :]
-    gy1 = gt_ref[1:2, :]
-    gx2 = gt_ref[2:3, :]
-    gy2 = gt_ref[3:4, :]
-    for ref, val in (
-        (matched_cx_ref, (gx1 + gx2) * 0.5),
-        (matched_cy_ref, (gy1 + gy2) * 0.5),
-        (matched_w_ref, gx2 - gx1),
-        (matched_h_ref, gy2 - gy1),
+    picked = jax.lax.dot_general(
+        sel.astype(jnp.float32),
+        coords_ref[:, :],
+        (((1,), (0,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32,
+    )  # (TILE_A, 128): lanes 0..3 = cx, cy, w, h
+    for i, ref in enumerate(
+        (matched_cx_ref, matched_cy_ref, matched_w_ref, matched_h_ref)
     ):
-        picked = jnp.sum(jnp.where(sel, val, 0.0), axis=1, keepdims=True)
-        ref[0:1, pl.ds(start, _TILE_A)] = picked.reshape(1, _TILE_A)
+        ref[0:1, pl.ds(start, _TILE_A)] = picked[:, i : i + 1].reshape(
+            1, _TILE_A
+        )
 
 
 @functools.partial(
@@ -325,6 +330,14 @@ def match_anchors_pallas(
     else:
         needs = jnp.zeros((1, g_pad), jnp.float32)
 
+    # (G, 128) matched-coordinate matrix for the in-kernel one-hot matmul:
+    # lanes 0..3 = (cx, cy, w, h), same arithmetic as corner_to_center.
+    coords = jnp.zeros((g_pad, 128), jnp.float32)
+    coords = coords.at[:, 0].set((gt_t[0] + gt_t[2]) * 0.5)
+    coords = coords.at[:, 1].set((gt_t[1] + gt_t[3]) * 0.5)
+    coords = coords.at[:, 2].set(gt_t[2] - gt_t[0])
+    coords = coords.at[:, 3].set(gt_t[3] - gt_t[1])
+
     matched_gt, matched_aug, m_cx, m_cy, m_w, m_h = pl.pallas_call(
         functools.partial(
             _assign_kernel, scale_comp_iou=match_config.scale_comp_iou
@@ -338,12 +351,15 @@ def match_anchors_pallas(
             jax.ShapeDtypeStruct((1, a_pad), jnp.float32),
             jax.ShapeDtypeStruct((1, a_pad), jnp.float32),
         ),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 7,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 8,
         out_specs=tuple(
             pl.BlockSpec(memory_space=pltpu.VMEM) for _ in range(6)
         ),
         interpret=interpret,
-    )(anchors_t, gt_t, mask_p, gt_best_anchor, needs, gt_kth, gt_kth_idx)
+    )(
+        anchors_t, gt_t, mask_p, coords,
+        gt_best_anchor, needs, gt_kth, gt_kth_idx,
+    )
 
     best_iou = best_iou[0, :a]
     matched_gt_a = jnp.minimum(matched_gt[0, :a], g - 1)

@@ -58,3 +58,45 @@ def test_every_valid_gt_matched():
     got = match_anchors_pallas(anchors, gt, mask, cfg, ACFG, interpret=True)
     matched = set(np.asarray(got.matched_gt)[np.asarray(got.cls_target) == 1])
     assert set(range(10)) <= matched
+
+
+def test_batch_dispatch_small_and_full_variants():
+    """match_anchors_batch's per-image G-128 dispatch: an image whose gts
+    all fit in the first 128 slots takes the half-width kernel, one with a
+    valid gt beyond slot 128 takes the full kernel — both must equal the
+    XLA reference exactly."""
+    from dan_tpu.box.matching import match_anchors_batch
+
+    max_gt = 160
+    anchors = jnp.asarray(generate_anchors_np(ACFG, 128, 128))
+    cfg = MatchConfig(max_gt=max_gt)
+    rng = np.random.default_rng(11)
+    gt = np.zeros((2, max_gt, 4), np.float32)
+    mask = np.zeros((2, max_gt), bool)
+    for b, slots in enumerate([range(5), list(range(3)) + [150, 155]]):
+        for s in slots:
+            xy = rng.uniform(0, 100, 2)
+            wh = rng.uniform(6, 60, 2)
+            gt[b, s] = [*xy, *np.minimum(xy + wh, 128)]
+            mask[b, s] = True
+    gt, mask = jnp.asarray(gt), jnp.asarray(mask)
+
+    got = match_anchors_batch(
+        anchors, gt, mask, cfg, ACFG, use_pallas=True, interpret=True
+    )
+    want = jax.vmap(lambda b, m: match_anchors(anchors, b, m, cfg, ACFG))(
+        gt, mask
+    )
+    np.testing.assert_array_equal(
+        np.asarray(got.cls_target), np.asarray(want.cls_target)
+    )
+    pos = np.asarray(want.cls_target) == 1
+    np.testing.assert_array_equal(
+        np.asarray(got.matched_gt)[pos], np.asarray(want.matched_gt)[pos]
+    )
+    np.testing.assert_allclose(
+        np.asarray(got.loc_target)[pos],
+        np.asarray(want.loc_target)[pos],
+        rtol=1e-5,
+        atol=1e-5,
+    )
