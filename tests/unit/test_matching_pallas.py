@@ -100,3 +100,46 @@ def test_batch_dispatch_small_and_full_variants():
         rtol=1e-5,
         atol=1e-5,
     )
+
+
+def test_batch_dispatch_all_invalid_image():
+    """An image with zero valid gts must produce all-background targets
+    through the small-variant dispatch (not NaNs or spurious positives)."""
+    from dan_tpu.box.matching import match_anchors_batch
+
+    max_gt = 160
+    anchors = jnp.asarray(generate_anchors_np(ACFG, 128, 128))
+    cfg = MatchConfig(max_gt=max_gt)
+    gt = jnp.zeros((1, max_gt, 4), jnp.float32)
+    mask = jnp.zeros((1, max_gt), bool)
+    got = match_anchors_batch(
+        anchors, gt, mask, cfg, ACFG, use_pallas=True, interpret=True
+    )
+    assert (np.asarray(got.cls_target) == 0).all()
+    assert np.isfinite(np.asarray(got.loc_target)).all()
+    assert np.isfinite(np.asarray(got.matched_iou)).all()
+
+
+def test_parity_heavy_ties_grid_aligned_gts():
+    """Grid-aligned identical gt boxes create exact IoU ties across both
+    anchors and gts — the stress case for the kernels' lexicographic
+    tie-breaks (value desc, index asc) vs the XLA reference."""
+    anchors = jnp.asarray(generate_anchors_np(ACFG, 128, 128))
+    cfg = MatchConfig(max_gt=16)
+    gt = np.zeros((16, 4), np.float32)
+    mask = np.zeros((16,), bool)
+    # Three identical boxes + two grid-aligned shifted copies.
+    gt[0] = gt[1] = gt[2] = [32, 32, 64, 64]
+    gt[3] = [64, 32, 96, 64]
+    gt[4] = [32, 64, 64, 96]
+    mask[:5] = True
+    gt, mask = jnp.asarray(gt), jnp.asarray(mask)
+    want = match_anchors(anchors, gt, mask, cfg, ACFG)
+    got = match_anchors_pallas(anchors, gt, mask, cfg, ACFG, interpret=True)
+    np.testing.assert_array_equal(
+        np.asarray(got.cls_target), np.asarray(want.cls_target)
+    )
+    pos = np.asarray(want.cls_target) == 1
+    np.testing.assert_array_equal(
+        np.asarray(got.matched_gt)[pos], np.asarray(want.matched_gt)[pos]
+    )
