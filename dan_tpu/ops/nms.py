@@ -79,7 +79,67 @@ def greedy_nms(
 def topk_select(
     boxes: jnp.ndarray, scores: jnp.ndarray, k: int
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Pre-NMS top-k by score over (N, 4)/(N,) -> (k, 4)/(k,)."""
-    k = min(k, scores.shape[0])
-    top_scores, idx = jax.lax.top_k(scores, k)
-    return boxes[idx], top_scores
+    """Pre-NMS top-k by score over (..., N, 4)/(..., N) -> (..., k, 4)/(..., k).
+
+    One multi-operand stable sort carries the four box columns along with
+    the (negated) score key, replacing lax.top_k + a k-row gather: TPU
+    row-gathers are element-serial, and the gather dominated the
+    postprocess bucket at batch 128.  Selection and order are identical
+    to top_k (both stable: ties keep ascending original index).
+    """
+    k = min(k, scores.shape[-1])
+    ops = (-scores,) + tuple(boxes[..., i] for i in range(4))
+    neg_s, x1, y1, x2, y2 = jax.lax.sort(ops, num_keys=1)
+    top_boxes = jnp.stack(
+        [x1[..., :k], y1[..., :k], x2[..., :k], y2[..., :k]], axis=-1
+    )
+    return top_boxes, -neg_s[..., :k]
+
+
+def rank_to_result(
+    rank: jnp.ndarray,
+    boxes: jnp.ndarray,
+    scores: jnp.ndarray,
+    max_out: int,
+) -> NMSResult:
+    """Selection ranks (..., N) (-1 = dropped, r = r-th kept) -> ordered
+    fixed-shape NMSResult (..., max_out, ...).
+
+    Shared tail of the Pallas NMS wrappers.  One multi-operand stable
+    sort on the rank key carries box columns, scores, and an index iota,
+    replacing top_k + row-gathers (element-serial on TPU).  Unselected
+    entries sort after all selected ones (key = max_out, stable by
+    original index — the same order top_k gave their zero keys).
+    """
+    n = rank.shape[-1]
+    key = jnp.where(rank >= 0, rank, max_out)
+    iota = jnp.broadcast_to(
+        jax.lax.iota(jnp.int32, n), rank.shape
+    )
+    ops = (
+        key,
+        boxes[..., 0].astype(jnp.float32),
+        boxes[..., 1].astype(jnp.float32),
+        boxes[..., 2].astype(jnp.float32),
+        boxes[..., 3].astype(jnp.float32),
+        scores.astype(jnp.float32),
+        iota,
+    )
+    key_s, x1, y1, x2, y2, sc, idx = jax.lax.sort(ops, num_keys=1)
+    k_top = min(max_out, n)
+
+    def cut(a):
+        a = a[..., :k_top]
+        if k_top < max_out:
+            pad = [(0, 0)] * (a.ndim - 1) + [(0, max_out - k_top)]
+            a = jnp.pad(a, pad)
+        return a
+
+    valid = cut(key_s < max_out)
+    out_boxes = jnp.stack([cut(x1), cut(y1), cut(x2), cut(y2)], axis=-1)
+    return NMSResult(
+        boxes=jnp.where(valid[..., None], out_boxes, 0.0),
+        scores=jnp.where(valid, cut(sc), 0.0),
+        indices=jnp.where(valid, cut(idx), -1).astype(jnp.int32),
+        valid=valid,
+    )

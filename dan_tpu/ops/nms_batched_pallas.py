@@ -20,7 +20,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from dan_tpu.ops.nms import NMSResult
+from dan_tpu.ops.nms import NMSResult, rank_to_result
 
 _LANE = 128
 _SUB = 8  # pad the batch dim to the f32 sublane count
@@ -149,23 +149,6 @@ def greedy_nms_pallas_batched(
         interpret=interpret,
     )(x1, y1, x2, y2, sc)[:bsz, :n]
 
-    # rank -> ordered outputs per row (same trick as nms_pallas).
-    selected = rank >= 0
-    key = jnp.where(selected, max_out - rank, 0)
-    k_top = min(max_out, n)
-    top_key, idx = jax.lax.top_k(key, k_top)  # (B, k_top)
-    if k_top < max_out:
-        padn = max_out - k_top
-        top_key = jnp.concatenate(
-            [top_key, jnp.zeros((bsz, padn), top_key.dtype)], axis=1
-        )
-        idx = jnp.concatenate([idx, jnp.zeros((bsz, padn), idx.dtype)], axis=1)
-    valid = top_key > 0
-    idx = jnp.minimum(idx, n - 1)
-    take = jax.vmap(lambda b_, i_: b_[i_])
-    return NMSResult(
-        boxes=jnp.where(valid[..., None], take(boxes, idx), 0.0),
-        scores=jnp.where(valid, take(scores, idx), 0.0),
-        indices=jnp.where(valid, idx, -1).astype(jnp.int32),
-        valid=valid,
-    )
+    # rank -> ordered outputs per row via the shared multi-operand sort
+    # (no per-row gathers — see ops.nms.rank_to_result).
+    return rank_to_result(rank, boxes, scores, max_out)

@@ -26,7 +26,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from dan_tpu.ops.nms import NMSResult
+from dan_tpu.ops.nms import NMSResult, rank_to_result
 
 _LANE = 128
 
@@ -126,24 +126,10 @@ def greedy_nms_pallas(
         interpret=interpret,
     )(boxes_t, scores_p)[0]
 
-    # rank -> ordered outputs: key = max_out - rank for selected (rank 0 is
-    # largest), 0 for unselected; one top_k sorts by selection order.
-    # top_k's k may not exceed the array length, so extract min(max_out,
-    # n_pad) and zero-pad up to max_out (matching the XLA twin's contract
-    # for small inputs).
-    selected = rank >= 0
-    key = jnp.where(selected, max_out - rank, 0)
-    k_top = min(max_out, n_pad)
-    top_key, idx = jax.lax.top_k(key, k_top)
-    if k_top < max_out:
-        pad = max_out - k_top
-        top_key = jnp.concatenate([top_key, jnp.zeros((pad,), top_key.dtype)])
-        idx = jnp.concatenate([idx, jnp.zeros((pad,), idx.dtype)])
-    valid = top_key > 0
-    idx = jnp.minimum(idx, n - 1)  # padded columns can never be selected
-    return NMSResult(
-        boxes=jnp.where(valid[:, None], boxes[idx], 0.0),
-        scores=jnp.where(valid, scores[idx], 0.0),
-        indices=jnp.where(valid, idx, -1).astype(jnp.int32),
-        valid=valid,
+    # rank -> ordered fixed-shape outputs via the shared multi-operand
+    # sort (no gathers — see ops.nms.rank_to_result).  Operate on the
+    # padded columns (pad ranks are -1, never selected, and their iota
+    # indices can never become valid).
+    return rank_to_result(
+        rank, boxes_t.T.reshape(n_pad, 4), scores_p[0], max_out
     )
