@@ -31,7 +31,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from dan_tpu.ops.nms import NMSResult
+from dan_tpu.ops.nms import NMSResult, rank_to_result
 
 _B = 128  # block size (one lane row)
 
@@ -161,22 +161,9 @@ def greedy_nms_blocked(
         interpret=interpret,
     )(boxes_t, scores_p)[0]
 
-    # First max_out kept (input is score-sorted, so index order = rank).
-    # top_k's k may not exceed the array length: extract min(max_out, n_pad)
-    # and zero-pad (matching the XLA twin's contract for small inputs).
+    # First max_out kept (input is score-sorted, so index order = rank);
+    # shared gather-free tail (ops.nms.rank_to_result on the padded cols).
     kept_bool = kept > 0.5
-    key = jnp.where(kept_bool, n_pad - jnp.arange(n_pad), 0)
-    k_top = min(max_out, n_pad)
-    top_key, idx = jax.lax.top_k(key, k_top)
-    if k_top < max_out:
-        pad = max_out - k_top
-        top_key = jnp.concatenate([top_key, jnp.zeros((pad,), top_key.dtype)])
-        idx = jnp.concatenate([idx, jnp.zeros((pad,), idx.dtype)])
-    valid = top_key > 0
-    idx = jnp.minimum(idx, n - 1)
-    return NMSResult(
-        boxes=jnp.where(valid[:, None], boxes[idx], 0.0),
-        scores=jnp.where(valid, scores[idx], 0.0),
-        indices=jnp.where(valid, idx, -1).astype(jnp.int32),
-        valid=valid,
-    )
+    order = jnp.cumsum(kept_bool.astype(jnp.int32)) - 1  # rank among kept
+    rank = jnp.where(kept_bool, order, -1)
+    return rank_to_result(rank, boxes_t.T, scores_p[0], max_out)
