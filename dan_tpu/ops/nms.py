@@ -84,8 +84,11 @@ def topk_select(
     One multi-operand stable sort carries the four box columns along with
     the (negated) score key, replacing lax.top_k + a k-row gather: TPU
     row-gathers are element-serial, and the gather dominated the
-    postprocess bucket at batch 128.  Selection and order are identical
-    to top_k (both stable: ties keep ascending original index).
+    postprocess bucket at batch 128.  For finite scores, selection and
+    order are identical to top_k (both stable: ties keep ascending
+    original index).  NaN scores differ: top_k surfaces NaN first, the
+    ascending sort of -scores places NaN last — callers must sanitize
+    NaN upstream (filter_and_topk does: sub-threshold scores become 0).
     """
     k = min(k, scores.shape[-1])
     ops = (-scores,) + tuple(boxes[..., i] for i in range(4))

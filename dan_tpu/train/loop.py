@@ -47,8 +47,21 @@ def create_train_state(config: DANConfig, key: jax.Array) -> TrainState:
     )
 
 
-def preprocess_and_match(batch: Dict[str, jnp.ndarray], config: DANConfig):
-    """Device-side input stage: fused preprocess + anchor match/encode."""
+def preprocess_and_match(
+    batch: Dict[str, jnp.ndarray], config: DANConfig, mesh=None
+):
+    """Device-side input stage: fused preprocess + anchor match/encode.
+
+    When a multi-device mesh is given, the matcher runs inside an explicit
+    shard_map island over the data axis: match_anchors_batch iterates the
+    batch with a per-image lax.map (a real lax.cond picks the half-width
+    G=128 kernel variant per image), and GSPMD cannot partition a scan
+    over a sharded leading dim — without the island it would all-gather
+    the gt tensors and run the full GLOBAL batch's kernels serially on
+    every chip.  shard_map hands each chip only its local shard, which is
+    also the only validated way to run Pallas custom calls under SPMD
+    (GSPMD has no partitioning rule for them).
+    """
     size = config.preprocess.train_image_size
     anchors = generate_anchors(config.anchors, size, size)
 
@@ -68,13 +81,26 @@ def preprocess_and_match(batch: Dict[str, jnp.ndarray], config: DANConfig):
         batch["mask"],
         batch["seed"],
     )
-    targets = match_anchors_batch(
-        anchors, boxes, mask, config.match, config.anchors
-    )
+    def match_local(b, m):
+        return match_anchors_batch(anchors, b, m, config.match, config.anchors)
+
+    if mesh is not None and mesh.devices.size > 1:
+        from jax.experimental.shard_map import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        axis = config.mesh.data_axis
+        targets = shard_map(
+            match_local,
+            mesh=mesh,
+            in_specs=(P(axis), P(axis)),
+            out_specs=P(axis),
+        )(boxes, mask)
+    else:
+        targets = match_local(boxes, mask)
     return images, targets
 
 
-def make_train_step(config: DANConfig):
+def make_train_step(config: DANConfig, mesh=None):
     """Build the pure (state, batch) -> (state, metrics) step function."""
     tx = make_optimizer(config.train)
 
@@ -89,7 +115,7 @@ def make_train_step(config: DANConfig):
         )
 
     def train_step(state: TrainState, batch) -> Tuple[TrainState, Dict]:
-        images, targets = preprocess_and_match(batch, config)
+        images, targets = preprocess_and_match(batch, config, mesh)
         (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state.params, images, targets
         )
@@ -111,7 +137,7 @@ def make_sharded_train_step(config: DANConfig, mesh):
     over ICI — the TPU-native equivalent of the reference's (absent)
     multi-GPU tower sum (SURVEY.md §2).
     """
-    step_fn = make_train_step(config)
+    step_fn = make_train_step(config, mesh)
     rep = replicated(mesh)
     bsh = batch_sharding(mesh, config.mesh)
     return jax.jit(
