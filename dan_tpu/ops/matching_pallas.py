@@ -37,7 +37,6 @@ anchor grid, so value-only selection would diverge from the XLA reference.
 from __future__ import annotations
 
 import functools
-from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
