@@ -252,6 +252,66 @@ class TTARunner:
         self._bucket_fns[key] = fn
         return fn
 
+    def warmup(
+        self,
+        sizes,
+        mesh=None,
+        batch_per_device: int = 1,
+        threads: int = 8,
+    ) -> int:
+        """Concurrently compile/load every (scale-bucket, canvas-bucket)
+        executable the given image sizes will need, so run_dataset starts
+        at full speed.
+
+        Compilation (or a persistent-cache load) of each distinct bucket
+        graph costs a ~20-40 s remote roundtrip on the axon tunnel and
+        run_dataset triggers them serially on first flush — WIDER's ~16
+        graphs cost ~8 min/process.  Threads release the GIL inside XLA
+        compile/deserialize, so warming them concurrently overlaps the
+        roundtrips.  Each warm call runs one tiny dummy launch through the
+        REAL jit fn (priming the in-process executable cache — a bare
+        lower().compile() would leave the first real call re-loading from
+        the disk cache over the tunnel again).
+
+        Args:
+          sizes: iterable of (h, w) image sizes (e.g. from JPEG headers).
+          mesh/batch_per_device: must match the run_dataset call.
+          threads: concurrent warm calls.
+        Returns the number of distinct executables warmed.
+        """
+        pairs = set()
+        for h, w in sizes:
+            canvas = canvas_bucket(max(h, w), self.config.tta.buckets)
+            for v in plan_variants(h, w, self.config):
+                bucket = pick_bucket(
+                    max(h, w) * v.scale, self.config.tta.buckets
+                )
+                pairs.add((bucket, canvas))
+        if not pairs:
+            return 0
+        n_dev = len(mesh.devices.flat) if mesh is not None else 1
+        chunk = max(n_dev * batch_per_device, 1)
+        # Build the jit wrappers serially (cheap, and keeps the fn-cache
+        # dict single-writer); only the calls below compile.
+        fns = {b: self._get_bucket_fn(b, mesh) for b, _ in pairs}
+
+        def warm(pair):
+            bucket, canvas_size = pair
+            fns[bucket](
+                self.params,
+                jnp.zeros((chunk, canvas_size, canvas_size, 3), jnp.uint8),
+                jnp.full((chunk,), float(canvas_size), jnp.float32),
+                jnp.full((chunk,), float(canvas_size), jnp.float32),
+                jnp.ones((chunk,), jnp.float32),
+                jnp.zeros((chunk,), bool),
+            )
+
+        import concurrent.futures as cf
+
+        with cf.ThreadPoolExecutor(max_workers=max(1, threads)) as ex:
+            list(ex.map(warm, sorted(pairs)))
+        return len(pairs)
+
     def _get_vote_fn(self):
         """One jitted vote fn (jit itself caches per input shape)."""
         if self._vote_fn is None:

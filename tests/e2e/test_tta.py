@@ -94,3 +94,24 @@ class TestTTA:
         img = np.concatenate([half, half[:, ::-1]], axis=1)
         out = runner.detect_tta(img)
         assert "bboxes" in out
+
+    def test_warmup_then_run_dataset_identical(self, runner, rng):
+        """Threaded warmup primes the same executables run_dataset uses;
+        results must be identical with and without it."""
+        imgs = [
+            ("a", rng.integers(0, 255, (80, 100, 3), dtype=np.uint8)),
+            ("b", rng.integers(0, 255, (64, 64, 3), dtype=np.uint8)),
+        ]
+        base = runner.run_dataset(iter(imgs))
+        n = runner.warmup(
+            [im.shape[:2] for _, im in imgs], threads=4
+        )
+        assert n >= 1
+        warmed = runner.run_dataset(iter(imgs))
+        for k in ("a", "b"):
+            np.testing.assert_array_equal(
+                base[k]["bboxes"], warmed[k]["bboxes"]
+            )
+            np.testing.assert_array_equal(
+                base[k]["scores"], warmed[k]["scores"]
+            )
