@@ -106,7 +106,26 @@ def main():
     rng = np.random.default_rng(0)
     images_np = rng.integers(0, 255, (BATCH, size, size, 3), dtype=np.uint8)
 
+    # Device-init watchdog: when the axon tunnel is down, jax.devices()
+    # hangs indefinitely (observed 2026-08-17, multi-hour outage) — abort
+    # with a clear message instead of hanging the driver's bench run.
+    import os
+    import threading
+
+    init_done = threading.Event()
+
+    def _watch():
+        if not init_done.wait(900):
+            print(
+                "bench: TPU device init exceeded 900s (axon tunnel down?)"
+                " — aborting",
+                file=sys.stderr,
+            )
+            os._exit(3)
+
+    threading.Thread(target=_watch, daemon=True).start()
     tpu_devices = [d for d in jax.devices() if d.platform != "cpu"]
+    init_done.set()
     device = tpu_devices[0] if tpu_devices else jax.devices()[0]
     print(f"bench device: {device}", file=sys.stderr)
 
