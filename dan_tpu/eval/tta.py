@@ -154,6 +154,17 @@ def canvas_bucket(extent: float, buckets: Sequence[int]) -> int:
     return -(-int(extent) // 128) * 128
 
 
+def plan_variant_buckets(h: int, w: int, config: DANConfig):
+    """ONE definition of the executable-selection rule: for an (h, w)
+    image, yield (variant, scale_bucket, canvas_bucket) per TTA variant.
+    detect_tta, run_dataset, and warmup all group work by these pairs —
+    they must stay bit-identical or warmup primes the wrong executables
+    and run_dataset re-pays the serial compile penalty silently."""
+    canvas = canvas_bucket(max(h, w), config.tta.buckets)
+    for v in plan_variants(h, w, config):
+        yield v, pick_bucket(max(h, w) * v.scale, config.tta.buckets), canvas
+
+
 class TTARunner:
     """Compiled-per-bucket TTA executor over a fixed parameter set."""
 
@@ -281,11 +292,7 @@ class TTARunner:
         """
         pairs = set()
         for h, w in sizes:
-            canvas = canvas_bucket(max(h, w), self.config.tta.buckets)
-            for v in plan_variants(h, w, self.config):
-                bucket = pick_bucket(
-                    max(h, w) * v.scale, self.config.tta.buckets
-                )
+            for _, bucket, canvas in plan_variant_buckets(h, w, self.config):
                 pairs.add((bucket, canvas))
         if not pairs:
             return 0
@@ -345,13 +352,11 @@ class TTARunner:
         if image.dtype != np.uint8:
             image = np.clip(image, 0, 255).astype(np.uint8)
         h, w = image.shape[:2]
-        variants = plan_variants(h, w, self.config)
         all_boxes, all_scores, all_valid = [], [], []
-        # Group variants by bucket for batched execution.
+        # Group variants by bucket for batched execution (shared rule:
+        # plan_variant_buckets).
         groups: Dict[Tuple[int, int], List[Variant]] = {}
-        for v in variants:
-            bucket = pick_bucket(max(h, w) * v.scale, self.config.tta.buckets)
-            canvas = canvas_bucket(max(h, w), self.config.tta.buckets)
+        for v, bucket, canvas in plan_variant_buckets(h, w, self.config):
             groups.setdefault((bucket, canvas), []).append(v)
         # One canvas + ONE H2D for the whole image: canvas_bucket depends
         # only on (h, w), so every bucket group shares the same canvas
@@ -473,12 +478,14 @@ class TTARunner:
                 image = np.clip(image, 0, 255).astype(np.uint8)
             h, w = image.shape[:2]
             per_key.setdefault(key, [])
-            canvas_size = canvas_bucket(max(h, w), self.config.tta.buckets)
+            plan = list(plan_variant_buckets(h, w, self.config))
+            canvas_size = plan[0][2] if plan else canvas_bucket(
+                max(h, w), self.config.tta.buckets
+            )
             canvas = np.zeros((canvas_size, canvas_size, 3), np.uint8)
             canvas[:h, :w] = image
             canvas_dev = jax.device_put(canvas)  # async; one H2D per image
-            for v in plan_variants(h, w, self.config):
-                bucket = pick_bucket(max(h, w) * v.scale, self.config.tta.buckets)
+            for v, bucket, _ in plan:
                 gk = (bucket, canvas_size)
                 groups.setdefault(gk, []).append((key, v, h, w, canvas_dev))
                 if len(groups[gk]) >= chunk:

@@ -85,15 +85,18 @@ def preprocess_and_match(
         return match_anchors_batch(anchors, b, m, config.match, config.anchors)
 
     if mesh is not None and mesh.devices.size > 1:
-        from jax.experimental.shard_map import shard_map
         from jax.sharding import PartitionSpec as P
 
         axis = config.mesh.data_axis
-        targets = shard_map(
+        # check_vma=False: Pallas custom calls carry no varying-mesh-axes
+        # info, and default VMA checking rejects them at trace time (same
+        # reason as the TTA island in eval/tta.py).
+        targets = jax.shard_map(
             match_local,
             mesh=mesh,
             in_specs=(P(axis), P(axis)),
             out_specs=P(axis),
+            check_vma=False,
         )(boxes, mask)
     else:
         targets = match_local(boxes, mask)

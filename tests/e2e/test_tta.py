@@ -96,18 +96,20 @@ class TestTTA:
         assert "bboxes" in out
 
     def test_warmup_then_run_dataset_identical(self, runner, rng):
-        """Threaded warmup primes the same executables run_dataset uses;
-        results must be identical with and without it."""
+        """Warmup runs FIRST on a fresh runner (so it, not run_dataset,
+        builds every executable with its dummy shapes — the shape-parity
+        contract under test), then run_dataset must reuse them and match
+        a never-warmed baseline runner exactly."""
         imgs = [
             ("a", rng.integers(0, 255, (80, 100, 3), dtype=np.uint8)),
             ("b", rng.integers(0, 255, (64, 64, 3), dtype=np.uint8)),
         ]
-        base = runner.run_dataset(iter(imgs))
-        n = runner.warmup(
-            [im.shape[:2] for _, im in imgs], threads=4
-        )
+        base = runner.run_dataset(iter(imgs))  # never-warmed baseline
+
+        fresh = TTARunner(runner.params, runner.config)
+        n = fresh.warmup([im.shape[:2] for _, im in imgs], threads=4)
         assert n >= 1
-        warmed = runner.run_dataset(iter(imgs))
+        warmed = fresh.run_dataset(iter(imgs))
         for k in ("a", "b"):
             np.testing.assert_array_equal(
                 base[k]["bboxes"], warmed[k]["bboxes"]

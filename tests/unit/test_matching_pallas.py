@@ -143,3 +143,40 @@ def test_parity_heavy_ties_grid_aligned_gts():
     np.testing.assert_array_equal(
         np.asarray(got.matched_gt)[pos], np.asarray(want.matched_gt)[pos]
     )
+
+
+def test_pallas_matcher_under_shard_map_island():
+    """The train step wraps the matcher in a shard_map island on multi-
+    device meshes; the Pallas path must trace under it (check_vma=False —
+    Pallas custom calls carry no varying-mesh-axes info and default VMA
+    checking rejects them).  Mirrors train/loop.py::preprocess_and_match
+    with the kernels in interpret mode on the CPU mesh."""
+    from jax.sharding import PartitionSpec as P
+
+    from dan_tpu.box.matching import match_anchors_batch
+    from dan_tpu.parallel.mesh import make_mesh
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs the multi-device CPU mesh")
+    mesh = make_mesh(n_devices=len(jax.devices()))
+    cfg = MatchConfig(max_gt=160)
+    anchors = jnp.asarray(generate_anchors_np(ACFG, 128, 128))
+    n = len(jax.devices())
+    gt = jnp.zeros((n, 160, 4), jnp.float32)
+    mask = jnp.zeros((n, 160), bool)
+
+    def fn(b, m):
+        return match_anchors_batch(
+            anchors, b, m, cfg, ACFG, use_pallas=True, interpret=True
+        )
+
+    out = jax.jit(
+        jax.shard_map(
+            fn,
+            mesh=mesh,
+            in_specs=(P("data"), P("data")),
+            out_specs=P("data"),
+            check_vma=False,
+        )
+    )(gt, mask)
+    assert np.asarray(out.cls_target).shape[0] == n
