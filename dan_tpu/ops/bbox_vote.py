@@ -63,3 +63,20 @@ def bbox_vote(
     )
     _, _, out_boxes, out_scores, out_valid = jax.lax.while_loop(cond, body, init)
     return VoteResult(out_boxes, out_scores, out_valid)
+
+
+def bbox_vote_batched(
+    boxes: jnp.ndarray,
+    scores: jnp.ndarray,
+    in_valid: jnp.ndarray,
+    iou_threshold: float,
+    max_out: int,
+) -> VoteResult:
+    """Batched XLA twin of bbox_vote: (B, N, 4)/(B, N)/(B, N) ->
+    VoteResult with (B, max_out, ...) leaves.  vmap of the while_loop
+    (the loop runs until every row is exhausted; rows finish early via
+    their own validity masks).  The Pallas lockstep twin is
+    ops.bbox_vote_pallas.bbox_vote_pallas_batched — parity-tested."""
+    return jax.vmap(bbox_vote, in_axes=(0, 0, 0, None, None))(
+        boxes, scores, in_valid, iou_threshold, max_out
+    )
