@@ -167,7 +167,9 @@ def match_anchors_batch(
     execute BOTH kernel variants per image).
     """
     if use_pallas is None:
-        use_pallas = jax.default_backend() in ("tpu", "axon")
+        from dan_tpu.utils.platform import on_tpu
+
+        use_pallas = on_tpu()
     if use_pallas:
         from dan_tpu.ops.matching_pallas import match_anchors_pallas
 

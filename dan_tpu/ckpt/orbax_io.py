@@ -123,6 +123,13 @@ class TrainStateSaver:
     beyond the newest max_to_keep are pruned. Pruning renames to a
     '.pruning' suffix first (atomic), so a crash mid-delete can never
     leave a half-deleted dir that latest_step()/resume would pick up.
+
+    Concurrency contract: retention assumes a SINGLE writer per root, and
+    concurrent readers restore only latest_step() (which pruning never
+    touches — it keeps the newest max_to_keep).  A reader restoring an
+    OLDER step while a trainer is saving can race _prune and fail
+    mid-restore when its dir is renamed away; run such eval jobs on a
+    copy, or with max_to_keep=None on the trainer.
     """
 
     def __init__(self, max_to_keep: Optional[int] = 5):

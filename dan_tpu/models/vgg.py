@@ -23,6 +23,7 @@ import jax.numpy as jnp
 
 from dan_tpu.config import ModelConfig
 from dan_tpu.models.layers import conv2d, conv_init, max_pool
+from dan_tpu.utils.platform import on_tpu as _on_tpu
 
 # (name, out_channels) per VGG conv block; pools follow each block.
 VGG_BLOCKS: Tuple[Tuple[Tuple[str, int], ...], ...] = (
@@ -109,7 +110,7 @@ def vgg_forward(
                 and x.shape[1] // 2 % 8 == 0
                 and x.shape[2] // 2 % 8 == 0
                 and x.shape[2] // 2 >= 16
-                and jax.default_backend() == "tpu"
+                and _on_tpu()
             ):
                 from dan_tpu.ops.conv1_pallas import (
                     conv1_block_packed_pallas,

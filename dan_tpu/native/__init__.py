@@ -180,8 +180,20 @@ def jpeg_exif_orientation(buf: bytes) -> Optional[int]:
                     entry = ifd + 2 + 12 * e
                     if entry + 12 > len(buf):
                         return None
-                    if u16(entry) == 0x0112:  # Orientation, SHORT
-                        return u16(entry + 8)
+                    if u16(entry) == 0x0112:  # Orientation
+                        # Trust the value only for a well-formed tag:
+                        # type 3 (SHORT), count 1.  A LONG-typed or
+                        # malformed tag would read the wrong bytes (e.g.
+                        # big-endian LONG -> 0 -> 'orientation 1' -> a
+                        # rotated image decoded natively, mis-aligning gt
+                        # boxes).  Return a non-1 sentinel instead so the
+                        # caller takes the cv2 fallback — the safe
+                        # direction.
+                        if u16(entry + 2) == 3 and u32(entry + 4) == 1:
+                            return u16(entry + 8)
+                        return -1  # truthy non-1: pipeline's `or 1` guard
+                        # maps 0/None to 'orientation 1' (native path), so
+                        # the unknown sentinel must survive it
                 return None
             i += 2 + seg_len
         return None

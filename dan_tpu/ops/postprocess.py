@@ -15,11 +15,7 @@ from dan_tpu.config import AnchorConfig, PostprocessConfig
 from dan_tpu.ops.nms import greedy_nms, topk_select
 
 
-def _on_tpu() -> bool:
-    try:
-        return jax.default_backend() in ("tpu", "axon")
-    except Exception:
-        return False
+from dan_tpu.utils.platform import on_tpu as _on_tpu  # shared dispatch gate
 
 
 def _run_nms(boxes, scores, post_config: PostprocessConfig):
