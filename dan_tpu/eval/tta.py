@@ -434,6 +434,24 @@ class TTARunner:
 
     def detect_tta(self, image: np.ndarray) -> Dict[str, np.ndarray]:
         """Full TTA on one (H, W, 3) uint8 RGB image -> detection dict."""
+        boxes, scores, valid = self.collect_variant_dets(image)
+        boxes_b, scores_b, valid_b = self._pack_vote_rows(
+            [(boxes, scores, valid)]
+        )
+        vote = self._get_vote_batch_fn()(
+            jnp.asarray(boxes_b), jnp.asarray(scores_b), jnp.asarray(valid_b)
+        )
+        keep = np.asarray(vote.valid[0])
+        return {
+            "bboxes": np.asarray(vote.boxes[0])[keep],
+            "scores": np.asarray(vote.scores[0])[keep],
+        }
+
+    def collect_variant_dets(self, image: np.ndarray):
+        """All TTA variants' post-NMS post-gate detections for one image,
+        concatenated: (N, 4) boxes, (N,) scores, (N,) valid — the pre-vote
+        stage of detect_tta, exposed so golden/drift tests can pin the
+        vote input independently of the vote itself."""
         image = np.asarray(image)
         if image.dtype != np.uint8:
             image = np.clip(image, 0, 255).astype(np.uint8)
@@ -471,19 +489,11 @@ class TTARunner:
                 all_boxes.append(boxes[i])
                 all_scores.append(scores[i])
                 all_valid.append(valid[i] & gate)
-        boxes_b, scores_b, valid_b = self._pack_vote_rows(
-            [(np.concatenate(all_boxes),
-              np.concatenate(all_scores),
-              np.concatenate(all_valid))]
+        return (
+            np.concatenate(all_boxes),
+            np.concatenate(all_scores),
+            np.concatenate(all_valid),
         )
-        vote = self._get_vote_batch_fn()(
-            jnp.asarray(boxes_b), jnp.asarray(scores_b), jnp.asarray(valid_b)
-        )
-        keep = np.asarray(vote.valid[0])
-        return {
-            "bboxes": np.asarray(vote.boxes[0])[keep],
-            "scores": np.asarray(vote.scores[0])[keep],
-        }
 
     def _pack_vote_rows(self, images_dets):
         """Pack per-image (boxes, scores, valid) host arrays into fixed

@@ -334,11 +334,115 @@ def write_goldens(records):
     )
 
 
+def tta_golden_config():
+    """THE config for the TTA golden (imported by test_golden_drift.py so
+    generator and drift test can never disagree): tiny 64px random-init
+    model — forwards are fast on the 1-CPU suite host — but the REAL
+    planning/gating/vote code paths with both shrink-capped and enlarging
+    scales, flip, and the size gates all active."""
+    import dataclasses  # noqa: F401  (kept for symmetry with callers)
+
+    from dan_tpu.config import (
+        DANConfig,
+        MatchConfig,
+        ModelConfig,
+        PostprocessConfig,
+        PreprocessConfig,
+        TTAConfig,
+    )
+
+    return DANConfig(
+        model=ModelConfig(image_size=64, compute_dtype="float32"),
+        preprocess=PreprocessConfig(train_image_size=64, canvas_size=128),
+        match=MatchConfig(max_gt=8),
+        postprocess=PostprocessConfig(
+            pre_nms_topk=64, max_detections=16, use_pallas_nms=False
+        ),
+        tta=TTAConfig(
+            buckets=(64, 128),
+            scales=(0.5, 1.5),
+            extra_scale_small_images=0.0,
+            max_pixels=16384.0,  # 128^2: real shrink < 1 for fixture images
+        ),
+    )
+
+
+TTA_GOLDEN_RELS_IDX = (0, 4, 7)  # 480x640, 640x640, and the empty image
+
+
+def write_tta_golden(records):
+    """Golden detections through the FULL pyramid+flip+vote path (VERDICT
+    r2 item 6): for each golden image, the concatenated pre-vote variant
+    detections AND the final fused output, plus the variant plan — so
+    planning/gating/vote changes can't silently shift eval results, and
+    the committed pre-vote dets let an independent f64 numpy vote oracle
+    check the fused output."""
+    import jax
+    import jax.numpy as jnp  # noqa: F401
+
+    jax.config.update("jax_platforms", "cpu")
+
+    from dan_tpu.data.widerface import load_image_rgb
+    from dan_tpu.eval.tta import TTARunner, plan_variant_buckets
+    from dan_tpu.models.detector import init_detector_params
+
+    cfg = tta_golden_config()
+    params = init_detector_params(jax.random.PRNGKey(0), cfg.model)
+    runner = TTARunner(params, cfg)
+
+    payload = {}
+    rels = []
+    for gi, ri in enumerate(TTA_GOLDEN_RELS_IDX):
+        rel = records[ri][0]
+        rels.append(rel)
+        img = load_image_rgb(os.path.join(ROOT, "WIDER_val", "images", rel))
+        h, w = img.shape[:2]
+        plan = [
+            (v.scale, float(v.flip), v.max_size, v.min_size, float(b), float(c))
+            for v, b, c in plan_variant_buckets(h, w, cfg)
+        ]
+        boxes, scores, valid = runner.collect_variant_dets(img)
+        out = runner.detect_tta(img)
+        payload[f"plan_{gi}"] = np.asarray(plan, np.float64)
+        payload[f"size_{gi}"] = np.asarray([h, w], np.int64)
+        payload[f"prevote_boxes_{gi}"] = boxes.astype(np.float32)
+        payload[f"prevote_scores_{gi}"] = scores.astype(np.float32)
+        payload[f"prevote_valid_{gi}"] = valid
+        payload[f"final_boxes_{gi}"] = out["bboxes"].astype(np.float32)
+        payload[f"final_scores_{gi}"] = out["scores"].astype(np.float32)
+    gdir = os.path.join(ROOT, "goldens")
+    os.makedirs(gdir, exist_ok=True)
+    np.savez_compressed(
+        os.path.join(gdir, "tta.npz"), rels=np.array(rels), **payload
+    )
+    print(
+        "tta golden OK: "
+        + ", ".join(
+            f"{r}:{len(payload[f'final_boxes_{i}'])} dets"
+            for i, r in enumerate(rels)
+        ),
+        file=sys.stderr,
+    )
+
+
+def load_records_from_fixture():
+    """Rel-paths of the COMMITTED fixture, in bbx_gt order (the same order
+    make_images produced), for golden-only refreshes that must not
+    re-encode the committed JPEGs."""
+    from dan_tpu.data.widerface import load_split
+
+    return [(r.rel_path, None) for r in load_split(ROOT, "val", keep_invalid=True)]
+
+
 def main():
+    if "--only-tta" in sys.argv:
+        write_tta_golden(load_records_from_fixture())
+        return
     records = make_images()
     write_bbx_gt(records)
     write_mats(records)
     write_goldens(records)
+    write_tta_golden(records)
     print(f"fixture written under {ROOT}", file=sys.stderr)
 
 

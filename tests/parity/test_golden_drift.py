@@ -139,3 +139,109 @@ class TestPostprocessGolden:
                 & np.isclose(gp["scores"][b, :n], os_, rtol=1e-5, atol=1e-5)
             )
             assert row_ok.mean() >= 0.98, (b, int((~row_ok).sum()), n)
+
+
+class TestTTAGolden:
+    """Drift lock for the FULL pyramid+flip+vote eval protocol (VERDICT r2
+    item 6): frozen fixture images through the real planning/gating/vote
+    code paths.  Goldens from make_mini_wider.py write_tta_golden (tiny
+    64px random-init model, so the lock is on protocol behavior, not
+    trained weights)."""
+
+    @pytest.fixture(scope="class")
+    def golden(self):
+        return np.load(os.path.join(FIX, "goldens", "tta.npz"))
+
+    @pytest.fixture(scope="class")
+    def runner(self):
+        import sys
+
+        sys.path.insert(0, os.path.dirname(FIX))
+        from make_mini_wider import tta_golden_config
+
+        from dan_tpu.eval.tta import TTARunner
+        from dan_tpu.models.detector import init_detector_params
+
+        cfg = tta_golden_config()
+        params = init_detector_params(jax.random.PRNGKey(0), cfg.model)
+        return TTARunner(params, cfg)
+
+    def _images(self, golden):
+        from dan_tpu.data.widerface import load_image_rgb
+
+        return [
+            load_image_rgb(os.path.join(FIX, "WIDER_val", "images", rel))
+            for rel in golden["rels"]
+        ]
+
+    def test_plan_matches_golden(self, golden, runner):
+        """Variant planning (shrink rule, scale list, gates, bucket and
+        canvas selection) is bit-stable for the frozen sizes."""
+        from dan_tpu.eval.tta import plan_variant_buckets
+
+        for gi in range(len(golden["rels"])):
+            h, w = golden[f"size_{gi}"]
+            plan = np.asarray(
+                [
+                    (v.scale, float(v.flip), v.max_size, v.min_size,
+                     float(b), float(c))
+                    for v, b, c in plan_variant_buckets(
+                        int(h), int(w), runner.config
+                    )
+                ],
+                np.float64,
+            )
+            np.testing.assert_array_equal(plan, golden[f"plan_{gi}"])
+
+    def test_prevote_dets_match_golden(self, golden, runner):
+        """Per-variant post-NMS post-gate detections reproduce the frozen
+        golden (locks resize/forward/decode/NMS/gating together)."""
+        for gi, img in enumerate(self._images(golden)):
+            boxes, scores, valid = runner.collect_variant_dets(img)
+            np.testing.assert_array_equal(valid, golden[f"prevote_valid_{gi}"])
+            np.testing.assert_allclose(
+                boxes, golden[f"prevote_boxes_{gi}"], rtol=1e-4, atol=1e-3
+            )
+            np.testing.assert_allclose(
+                scores, golden[f"prevote_scores_{gi}"], rtol=1e-5, atol=1e-6
+            )
+
+    def test_final_dets_match_golden(self, golden, runner):
+        """detect_tta end-to-end reproduces the frozen fused output."""
+        for gi, img in enumerate(self._images(golden)):
+            out = runner.detect_tta(img)
+            np.testing.assert_allclose(
+                out["bboxes"], golden[f"final_boxes_{gi}"], rtol=1e-4, atol=1e-3
+            )
+            np.testing.assert_allclose(
+                out["scores"], golden[f"final_scores_{gi}"], rtol=1e-5, atol=1e-6
+            )
+
+    def test_vote_matches_f64_oracle(self, golden, runner):
+        """The committed fused output equals an INDEPENDENT f64 numpy
+        bbox-vote (tests/oracles.py) over the committed pre-vote dets —
+        the vote stage itself is pinned to first principles, not to the
+        device implementation."""
+        import sys
+
+        sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+        import oracles
+
+        thr = runner.config.postprocess.vote_iou_threshold
+        max_out = runner.config.postprocess.max_detections
+        for gi in range(len(golden["rels"])):
+            valid = golden[f"prevote_valid_{gi}"]
+            sel = valid & (golden[f"prevote_scores_{gi}"] > 0.0)
+            dets = np.concatenate(
+                [
+                    golden[f"prevote_boxes_{gi}"][sel],
+                    golden[f"prevote_scores_{gi}"][sel, None],
+                ],
+                axis=1,
+            )
+            want = oracles.bbox_vote(dets, iou_threshold=thr, max_out=max_out)
+            got_b = golden[f"final_boxes_{gi}"]
+            got_s = golden[f"final_scores_{gi}"]
+            assert len(want) == len(got_b), (gi, len(want), len(got_b))
+            np.testing.assert_allclose(got_b, want[:, :4], rtol=1e-4, atol=5e-3)
+            np.testing.assert_allclose(got_s, want[:, 4], rtol=1e-5, atol=1e-6)
