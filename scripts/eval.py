@@ -42,6 +42,12 @@ def main():
         help="TTA (image, variant) units per chip per launch; >1 amortizes "
         "dispatch latency (one compiled executable per bucket per value)",
     )
+    ap.add_argument(
+        "--vote_batch",
+        type=int,
+        default=32,
+        help="images per batched bbox-vote launch (padded to a device-count multiple)",
+    )
     ap.add_argument("--limit", type=int, default=None, help="eval first N images")
     ap.add_argument("--score_only", action="store_true", help="skip inference, read --pred_dir")
     ap.add_argument("--pred_dir", default=None)
@@ -111,6 +117,7 @@ def main():
                 (_size(r.path) for r in records),
                 mesh=mesh,
                 batch_per_device=args.tta_batch,
+                vote_batch=args.vote_batch,
             )
             print(
                 f"[tta] warmed {n_warm} executables in "
@@ -121,11 +128,20 @@ def main():
                 (os.path.splitext(r.rel_path)[0], load_image_rgb(r.path))
                 for r in records
             )
+            t_run = time.time()
             results = runner.run_dataset(
                 items,
                 mesh=mesh,
                 batch_per_device=args.tta_batch,
                 progress_every=50,
+                vote_batch=args.vote_batch,
+            )
+            dt = time.time() - t_run
+            print(
+                f"[tta] {len(results)} images in {dt:.1f}s "
+                f"({len(results) / max(dt, 1e-9):.2f} img/s, "
+                f"tta_batch={args.tta_batch}, vote_batch={args.vote_batch})",
+                file=sys.stderr,
             )
             predictions = {
                 k: np.concatenate([v["bboxes"], v["scores"][:, None]], -1)
