@@ -40,15 +40,6 @@ CPU_BASELINE_CACHE = os.path.join(
 
 
 def build_detect_fn(cfg, device):
-    # The CPU stand-in jits for a CPU device inside the TPU process; the
-    # Pallas conv1 kernel only compiles for TPU, so force the XLA path
-    # there (jax.default_backend() can't see the jit target device).
-    if device.platform == "cpu" and cfg.model.conv1_pallas_infer:
-        import dataclasses
-
-        cfg = dataclasses.replace(
-            cfg, model=dataclasses.replace(cfg.model, conv1_pallas_infer=False)
-        )
     from dan_tpu.box.anchors import generate_anchors_np
     from dan_tpu.models.detector import detector_forward
     from dan_tpu.ops.postprocess import postprocess_batch

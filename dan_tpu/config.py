@@ -123,26 +123,11 @@ class ModelConfig:
     # see models/vgg.py::conv1_block_packed.  Auto-falls back to the
     # standard path for odd H/W.
     conv1_packed: bool = True
-    # On INFERENCE graphs on the TPU backend, run the conv1 block as a
-    # Pallas kernel (ops/conv1_pallas.py).  Version 1 fuses packed
-    # conv1_2 + phase-pool (25% faster standalone) but in the FULL detect
-    # graph XLA inserts a 20 ms relayout copy to feed it (conv output
-    # layout {3,0,2,1} vs Pallas row-major — BASELINE.md r2 profile), so
-    # v1 in-graph is a net LOSS.  Version 2 additionally fuses conv1_1:
-    # its input is a (B, H/2, W/2, 128) im2col built by an elementwise
-    # XLA fusion (which adopts the consumer's layout for free), deleting
-    # both the relayout copy and conv1_1''s HBM round-trip — but the
-    # im2col build itself measured 57 ms @ b32 (lane-sparse gather from
-    # the 3-channel input; BASELINE.md 'v2 results'), so v2 in-graph is
-    # ALSO a net loss and the default stays OFF.  Both kernels are
-    # parity-exact on TPU and stay as the scaling path for a
-    # layout-aware future.  Training always keeps the XLA path (the
-    # kernels have no VJP; the custom-VJP phase pool covers the
-    # backward).  Non-TPU backends auto-fall back.
-    conv1_pallas_infer: bool = False
-    # Which fused kernel vgg_forward dispatches when conv1_pallas_infer
-    # is on: 2 (default, conv1_1-fused) or 1 (conv1_2+pool only).
-    conv1_pallas_version: int = 2
+    # Fused conv1 Pallas kernels (two versions) were built, measured
+    # exact-parity on TPU, found to be net in-graph LOSSES (conv-output
+    # relayout tax; unbuildable 3-channel im2col — full autopsy in
+    # BASELINE.md 'Fused conv1'), and pruned in round 3.  The XLA
+    # phase-packed block above is the production formulation.
 
 
 @dataclasses.dataclass(frozen=True)

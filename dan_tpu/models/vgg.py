@@ -23,7 +23,6 @@ import jax.numpy as jnp
 
 from dan_tpu.config import ModelConfig
 from dan_tpu.models.layers import conv2d, conv_init, max_pool
-from dan_tpu.utils.platform import on_tpu as _on_tpu
 
 # (name, out_channels) per VGG conv block; pools follow each block.
 VGG_BLOCKS: Tuple[Tuple[Tuple[str, int], ...], ...] = (
@@ -101,28 +100,16 @@ def vgg_forward(
     for_inference: the caller guarantees no gradients flow (detect/eval
     graphs) — enables the fused Pallas conv1 kernel (no VJP) on TPU.
     """
+    # NOTE: round 2 also built two fused conv1 Pallas kernels (conv1_2+pool;
+    # + in-kernel conv1_1); both were exact-parity on TPU but net LOSSES
+    # in-graph (conv-output relayout tax / unbuildable 3-channel im2col) and
+    # were pruned in round 3 — full autopsy in BASELINE.md 'Fused conv1',
+    # kernels recoverable from git history if Mosaic grows layout awareness.
+    del for_inference  # kept in the signature: eval/train graph marker
     taps: Dict[str, jnp.ndarray] = {}
     for bi, block in enumerate(VGG_BLOCKS):
         if bi == 0 and config.conv1_packed and x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0:
-            if (
-                for_inference
-                and config.conv1_pallas_infer
-                and x.shape[1] // 2 % 8 == 0
-                and x.shape[2] // 2 % 8 == 0
-                and x.shape[2] // 2 >= 16
-                and _on_tpu()
-            ):
-                from dan_tpu.ops.conv1_pallas import (
-                    conv1_block_packed_pallas,
-                    conv1_block_packed_pallas_v2,
-                )
-
-                if config.conv1_pallas_version >= 2:
-                    x = conv1_block_packed_pallas_v2(params, x)
-                else:
-                    x = conv1_block_packed_pallas(params, x)
-            else:
-                x = conv1_block_packed(params, x)
+            x = conv1_block_packed(params, x)
             continue
         for name, _ in block:
             x = conv2d(params[name], x)

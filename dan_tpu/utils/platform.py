@@ -2,8 +2,8 @@
 
 The axon TPU tunnel on this machine reports its platform as either 'tpu'
 or 'axon' depending on the jax version/plugin; round-2 code had two
-different predicates (postprocess accepted both, vgg only 'tpu'), so a
-flag like conv1_pallas_infer could silently fall back to XLA on one
+different predicates (postprocess accepted both, the vgg conv1 gate only
+'tpu'), so a kernel-dispatch flag could silently fall back to XLA on one
 backend name.  Every dispatch site imports this helper instead.
 """
 from __future__ import annotations
