@@ -332,6 +332,40 @@ class TestNativeLoader:
         for k in ("crop_x0", "crop_y0", "crop_size", "boxes", "mask", "seed"):
             np.testing.assert_array_equal(nb[k][0], fs[k], err_msg=k)
 
+    def test_exif_malformed_orientation_tag_is_untrusted(self):
+        """An Orientation tag with a non-SHORT type or count != 1 must
+        return a non-1 sentinel (-> cv2 fallback), never a misread value:
+        a big-endian LONG read as SHORT yields 0 -> 'orientation 1' ->
+        a rotated image decoded natively, mis-aligning gt boxes."""
+        import struct
+
+        from dan_tpu import native
+
+        def jpeg_with_tag(type_code, count, value_bytes):
+            # Minimal JPEG: SOI + APP1(Exif, big-endian TIFF, one IFD
+            # entry: tag 0x0112 with the given type/count/value).
+            ifd = struct.pack(">H", 1) + struct.pack(
+                ">HHI4s", 0x0112, type_code, count, value_bytes
+            ) + b"\x00" * 4
+            tiff = b"MM\x00\x2a" + struct.pack(">I", 8) + ifd
+            app1 = b"Exif\x00\x00" + tiff
+            seg = b"\xff\xe1" + struct.pack(">H", len(app1) + 2) + app1
+            return b"\xff\xd8" + seg + b"\xff\xd9"
+
+        # Well-formed SHORT count 1: value honored (6 = rotate 90 CW).
+        good = jpeg_with_tag(3, 1, struct.pack(">HH", 6, 0))
+        assert native.jpeg_exif_orientation(good) == 6
+        # LONG-typed tag: value field would read 0 as SHORT — must be the
+        # untrusted sentinel, and truthy-non-1 so pipeline.py's `or 1`
+        # guard still routes it to the cv2 fallback.
+        bad_type = jpeg_with_tag(4, 1, struct.pack(">I", 6))
+        got = native.jpeg_exif_orientation(bad_type)
+        assert got is not None and (got or 1) != 1, got
+        # count != 1: same.
+        bad_count = jpeg_with_tag(3, 2, struct.pack(">HH", 6, 6))
+        got = native.jpeg_exif_orientation(bad_count)
+        assert got is not None and (got or 1) != 1, got
+
     def test_pipeline_uses_native_and_falls_back(self, tmp_path):
         """A non-JPEG file in the batch must not kill the native batch —
         that image alone takes the cv2 path."""
