@@ -218,6 +218,26 @@ class Detector:
             out = {k: v[keep] for k, v in out.items()}
         return out
 
+    def detect_tta(
+        self, image: np.ndarray, score_threshold: Optional[float] = None
+    ) -> Dict[str, np.ndarray]:
+        """Full pyramid+flip TTA with bbox-vote fusion on one image — the
+        reference's accuracy-mode eval path (config 4 [B]), same detection
+        dict as detect().  The TTARunner (compiled per resolution bucket)
+        is cached on the Detector, so repeated calls reuse executables;
+        for dataset-scale work use eval.tta.TTARunner.run_dataset."""
+        runner = getattr(self, "_tta_runner", None)
+        if runner is None:
+            from dan_tpu.eval.tta import TTARunner
+
+            runner = TTARunner(self.params, self.config)
+            self._tta_runner = runner
+        out = runner.detect_tta(self._check_image(image))
+        if score_threshold is not None:
+            keep = out["scores"] >= score_threshold
+            out = {k: v[keep] for k, v in out.items()}
+        return out
+
 
 def _looks_like_tf_ckpt(path: str) -> bool:
     import os

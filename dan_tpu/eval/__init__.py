@@ -2,7 +2,9 @@ from dan_tpu.eval.tta import (
     TTARunner,
     Variant,
     canvas_bucket,
+    max_variants,
     pick_bucket,
+    plan_variant_buckets,
     plan_variants,
 )
 from dan_tpu.eval.widerface_ap import (
@@ -24,7 +26,9 @@ __all__ = [
     "evaluate_widerface",
     "load_detection_dir",
     "load_official_gt",
+    "max_variants",
     "pick_bucket",
+    "plan_variant_buckets",
     "plan_variants",
     "read_wider_detections",
     "write_wider_detections",

@@ -43,11 +43,7 @@ def main():
 
     img = load_image_rgb(args.image)
     if args.tta:
-        from dan_tpu.eval.tta import TTARunner
-
-        out = TTARunner(det.params, det.config).detect_tta(img)
-        keep = out["scores"] >= args.score_threshold
-        out = {k: v[keep] for k, v in out.items()}
+        out = det.detect_tta(img, score_threshold=args.score_threshold)
     else:
         out = det.detect(img, score_threshold=args.score_threshold)
 

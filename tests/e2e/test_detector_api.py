@@ -132,6 +132,24 @@ class TestDetectorAPI:
         assert (cut["scores"] >= thresh).all()
         assert len(cut["scores"]) <= len(full["scores"])
 
+    def test_detect_tta_matches_runner(self, detector, rng):
+        """Detector.detect_tta == eval.tta.TTARunner.detect_tta (same
+        detection dict), with the runner cached across calls."""
+        from dan_tpu.eval.tta import TTARunner
+
+        img = rng.integers(0, 255, (80, 64, 3), dtype=np.uint8)
+        got = detector.detect_tta(img)
+        want = TTARunner(detector.params, detector.config).detect_tta(img)
+        np.testing.assert_array_equal(got["bboxes"], want["bboxes"])
+        np.testing.assert_array_equal(got["scores"], want["scores"])
+        assert detector._tta_runner is not None
+        again = detector.detect_tta(img)  # cached-runner path
+        np.testing.assert_array_equal(again["bboxes"], got["bboxes"])
+        if len(got["scores"]):
+            thresh = float(np.median(got["scores"]))
+            cut = detector.detect_tta(img, score_threshold=thresh)
+            assert (cut["scores"] >= thresh).all()
+
 
 class TestCheckpointRoundtrip:
     def test_from_checkpoint_train_model_dir(self, detector, rng, tmp_path):

@@ -75,6 +75,34 @@ class TestTTAIslandPallas:
                 got[k]["scores"], want[k]["scores"], rtol=1e-6
             )
 
+    def test_mesh_warmup_primes_every_executable(self, rng):
+        """Warmup with a mesh must build the same (bucket, canvas) + vote
+        executables run_dataset uses (the shared _vote_chunk /
+        plan_variant_buckets rules), and a warmed runner must reproduce an
+        unwarmed one exactly — under the mesh, where the vote chunk is
+        padded to the device count."""
+        params = init_detector_params(
+            jax.random.PRNGKey(1), tiny_config(False).model
+        )
+        mesh = make_mesh()
+        images = [
+            (f"w/img{i}", rng.integers(0, 255, (40 + 8 * i, 64, 3), dtype=np.uint8))
+            for i in range(3)
+        ]
+        base = TTARunner(params, tiny_config(False)).run_dataset(
+            list(images), mesh=mesh, vote_batch=4
+        )
+        warmed_runner = TTARunner(params, tiny_config(False))
+        n = warmed_runner.warmup(
+            [im.shape[:2] for _, im in images], mesh=mesh, threads=4,
+            vote_batch=4,
+        )
+        assert n >= 2  # at least one bucket executable + the vote
+        got = warmed_runner.run_dataset(list(images), mesh=mesh, vote_batch=4)
+        for k in base:
+            np.testing.assert_array_equal(base[k]["bboxes"], got[k]["bboxes"])
+            np.testing.assert_array_equal(base[k]["scores"], got[k]["scores"])
+
     def test_vote_island_shard_map_direct(self, rng):
         """The batched Pallas vote kernel runs under a shard_map island on
         the 8-device mesh and matches per-row XLA bbox_vote."""
