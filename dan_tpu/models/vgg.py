@@ -256,20 +256,21 @@ def _phase_pool_bwd(res, g):
     win, b2 = res
     # Route to the first phase (py, px order) achieving the max — a valid
     # subgradient; ties differ from nested-maximum autodiff only on exact
-    # float ties between phases.  Assembled via 4 channel-disjoint
-    # dynamic-update-slices into one zero buffer instead of pad+concat:
-    # XLA materialized the concat's 4 padded operands as a separate
-    # fusion (+0.84 GB of intermediate traffic at batch 16), while the
-    # in-place DUS chain fuses each masked select with its write.
-    b, hh, ww, co = g.shape
-    gr = jnp.zeros((b, hh + 1, ww + 1, 4 * co), g.dtype)
+    # float ties between phases.  Assembly formulation (measured both ways
+    # on v5e, batch 16): pad+concat costs one extra materialized fusion of
+    # the 4 padded operands (~0.84 GB traffic), but a channel-disjoint
+    # dynamic-update-slice chain is FAR worse — XLA:TPU lowers each DUS on
+    # a bf16[16,321,321,256]{3,0,2,1} buffer as an unfused full-buffer
+    # copy (22.6 + 22.6 + 6.2 = 51.4 ms/step, the whole train step
+    # regressing 124 -> 176 ms), so pad+concat stays.
+    groups = []
     for py in range(2):
         for px in range(2):
-            i = py * 2 + px
-            contrib = jnp.where(win == i, g, 0).astype(g.dtype)
-            gr = jax.lax.dynamic_update_slice(
-                gr, contrib, (0, py, px, i * co)
+            contrib = jnp.where(win == py * 2 + px, g, 0).astype(g.dtype)
+            groups.append(
+                jnp.pad(contrib, ((0, 0), (py, 1 - py), (px, 1 - px), (0, 0)))
             )
+    gr = jnp.concatenate(groups, axis=-1)
     gb2 = (
         jnp.sum(
             jnp.where(win != 255, g, 0).astype(jnp.float32), axis=(0, 1, 2)
