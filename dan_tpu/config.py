@@ -123,6 +123,12 @@ class ModelConfig:
     # see models/vgg.py::conv1_block_packed.  Auto-falls back to the
     # standard path for odd H/W.
     conv1_packed: bool = True
+    # Pallas kernel for the phase-pool BACKWARD assembly (one HBM pass vs
+    # XLA's two — ops/phase_pool_pallas.py; bit-identical routing).  Takes
+    # effect on TPU backends only; the train-step builder clears it on
+    # multi-device meshes (GSPMD cannot partition the custom call — the
+    # XLA twin runs there, train/loop.py).
+    phase_pool_pallas_bwd: bool = True
     # Fused conv1 Pallas kernels (two versions) were built, measured
     # exact-parity on TPU, found to be net in-graph LOSSES (conv-output
     # relayout tax; unbuildable 3-channel im2col — full autopsy in

@@ -16,6 +16,7 @@ Param names deliberately mirror TF-slim's vgg_16 scope structure
 """
 from __future__ import annotations
 
+import functools
 from typing import Dict, List, Tuple
 
 import jax
@@ -23,6 +24,7 @@ import jax.numpy as jnp
 
 from dan_tpu.config import ModelConfig
 from dan_tpu.models.layers import conv2d, conv_init, max_pool
+from dan_tpu.utils.platform import on_tpu as _on_tpu
 
 # (name, out_channels) per VGG conv block; pools follow each block.
 VGG_BLOCKS: Tuple[Tuple[Tuple[str, int], ...], ...] = (
@@ -109,7 +111,14 @@ def vgg_forward(
     taps: Dict[str, jnp.ndarray] = {}
     for bi, block in enumerate(VGG_BLOCKS):
         if bi == 0 and config.conv1_packed and x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0:
-            x = conv1_block_packed(params, x)
+            # Pallas phase-pool backward: single-device TPU graphs only
+            # (GSPMD has no partitioning rule for the custom call; the
+            # train-step builder clears the flag on multi-device meshes —
+            # train/loop.py).  Inference graphs never run the backward, so
+            # the flag is inert there either way.
+            x = conv1_block_packed(
+                params, x, config.phase_pool_pallas_bwd and _on_tpu()
+            )
             continue
         for name, _ in block:
             x = conv2d(params[name], x)
@@ -215,8 +224,10 @@ def _phase_slices(r: jnp.ndarray, co: int):
     ]
 
 
-@jax.custom_vjp
-def _phase_pool(r: jnp.ndarray, b2: jnp.ndarray) -> jnp.ndarray:
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def _phase_pool(
+    r: jnp.ndarray, b2: jnp.ndarray, pallas_bwd: bool = False
+) -> jnp.ndarray:
     """pool1 over the packed conv1_2 phases: relu(max_phases(r) + b2).
 
     Identical to max_phases(relu(r + b2)) — float max commutes exactly with
@@ -231,7 +242,7 @@ def _phase_pool(r: jnp.ndarray, b2: jnp.ndarray) -> jnp.ndarray:
     return jax.nn.relu(m + b2)
 
 
-def _phase_pool_fwd(r, b2):
+def _phase_pool_fwd(r, b2, pallas_bwd=False):
     s = _phase_slices(r, b2.shape[0])
     m = jnp.maximum(jnp.maximum(s[0], s[1]), jnp.maximum(s[2], s[3]))
     out = jax.nn.relu(m + b2)
@@ -252,17 +263,17 @@ def _phase_pool_fwd(r, b2):
     return out, (win, b2)
 
 
-def _phase_pool_bwd(res, g):
-    win, b2 = res
-    # Route to the first phase (py, px order) achieving the max — a valid
-    # subgradient; ties differ from nested-maximum autodiff only on exact
-    # float ties between phases.  Assembly formulation (measured both ways
-    # on v5e, batch 16): pad+concat costs one extra materialized fusion of
-    # the 4 padded operands (~0.84 GB traffic), but a channel-disjoint
-    # dynamic-update-slice chain is FAR worse — XLA:TPU lowers each DUS on
-    # a bf16[16,321,321,256]{3,0,2,1} buffer as an unfused full-buffer
-    # copy (22.6 + 22.6 + 6.2 = 51.4 ms/step, the whole train step
-    # regressing 124 -> 176 ms), so pad+concat stays.
+def _phase_pool_bwd_xla(win, g):
+    """XLA assembly of the r-cotangent: route g to the winning phase's
+    channel group at its spatial offset.  Assembly formulation (measured
+    both ways on v5e, batch 16): pad+concat costs one extra materialized
+    fusion of the 4 padded operands (~0.84 GB traffic), but a
+    channel-disjoint dynamic-update-slice chain is FAR worse — XLA:TPU
+    lowers each DUS on a bf16[16,321,321,256]{3,0,2,1} buffer as an
+    unfused full-buffer copy (22.6 + 22.6 + 6.2 = 51.4 ms/step, the whole
+    train step regressing 124 -> 176 ms), so pad+concat stays as the
+    best *XLA* formulation; the Pallas kernel below replaces it where
+    available (ops/phase_pool_pallas.py — one pass instead of two)."""
     groups = []
     for py in range(2):
         for px in range(2):
@@ -270,7 +281,20 @@ def _phase_pool_bwd(res, g):
             groups.append(
                 jnp.pad(contrib, ((0, 0), (py, 1 - py), (px, 1 - px), (0, 0)))
             )
-    gr = jnp.concatenate(groups, axis=-1)
+    return jnp.concatenate(groups, axis=-1)
+
+
+def _phase_pool_bwd(pallas_bwd, res, g):
+    win, b2 = res
+    # Route to the first phase (py, px order) achieving the max — a valid
+    # subgradient; ties differ from nested-maximum autodiff only on exact
+    # float ties between phases.
+    if pallas_bwd:
+        from dan_tpu.ops.phase_pool_pallas import phase_pool_bwd_pallas
+
+        gr = phase_pool_bwd_pallas(g, win)
+    else:
+        gr = _phase_pool_bwd_xla(win, g)
     gb2 = (
         jnp.sum(
             jnp.where(win != 255, g, 0).astype(jnp.float32), axis=(0, 1, 2)
@@ -282,7 +306,9 @@ def _phase_pool_bwd(res, g):
 _phase_pool.defvjp(_phase_pool_fwd, _phase_pool_bwd)
 
 
-def conv1_block_packed(params: Dict, x: jnp.ndarray) -> jnp.ndarray:
+def conv1_block_packed(
+    params: Dict, x: jnp.ndarray, pallas_bwd: bool = False
+) -> jnp.ndarray:
     """relu(conv1_1) -> relu(conv1_2) -> maxpool2x2/2, phase-packed.
 
     x: (B, H, W, 3), H and W even.  Returns (B, H/2, W/2, 64) == the
@@ -312,4 +338,4 @@ def conv1_block_packed(params: Dict, x: jnp.ndarray) -> jnp.ndarray:
         o1, k2, (1, 1), ((1, 1), (1, 1)),
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
     )
-    return _phase_pool(r, b2)
+    return _phase_pool(r, b2, pallas_bwd)

@@ -1,0 +1,103 @@
+"""Pallas TPU kernel for the phase-pool backward assembly.
+
+The custom-VJP backward of `models/vgg.py::_phase_pool` routes the pool1
+cotangent g (B, H, W, C) to the winning pixel phase of the packed conv1_2
+output r (B, H+1, W+1, 4C): channel group go = py*2+px receives g at
+spatial offset (py, px) where the stored winner index equals go, zero
+elsewhere (reference semantics: TF max-pool grad routes to the first
+winner; SURVEY.md §2 'VGG-16 backbone').
+
+Why a kernel: XLA:TPU lowers every natural formulation of this assembly
+as multiple full-size HBM passes — measured at batch 16 on v5e
+(BASELINE.md round-3 rows): pad+concat 7.1 ms (a 4-output select fusion
+writing 4 x 210 MB, then a pad+iota-select concat fusion re-reading them),
+channel-disjoint dynamic-update-slices +51.4 ms, single-pass 256-wide
+`where` +4.2 ms — against a ~1.4 ms byte-count roofline.  This kernel
+reads (g, win) once and writes the (B, H+1, W+1, 4C) cotangent once.
+
+Layout contract: the train graph keeps these NHWC tensors in XLA:TPU's
+preferred {3,0,2,1:T(8,128)} layout — physical order [H][W][B][C] with
+(B, C) as the tiled pair.  Pallas operands must be row-major, so the
+wrapper runs the kernel on (H, W, B, C)-transposed views: a row-major
+(H, W, B, C) array has the *same physical bytes* as {3,0,2,1} (B, H, W,
+C), so XLA lowers the transposes as bitcasts, not copies (verify in
+hlo_stats: no relayout fusion should appear around the custom call).
+
+Grid: one step per output row y in [0, H]; the y-halo (group py needs
+input row y-py) is fed by passing each input twice with `cur` (row y,
+clamped) and `prev` (row y-1, clamped) block specs; clamp-invalid rows
+are zeroed in-kernel.  The x-shift is a static in-kernel concat along
+the untiled W axis.  Channel groups are assembled in 2C-wide pairs so
+both output stores land on 128-lane-aligned offsets (C = 64 on the real
+model).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+
+# Tests flip this to run the kernel in interpret mode on CPU (same switch
+# convention as the matcher/NMS kernels' `interpret` kwarg, but readable
+# from inside the custom-VJP backward which takes no runtime kwargs).
+INTERPRET = False
+
+
+def _kernel(g_cur, w_cur, g_prev, w_prev, out, *, h: int, c: int):
+    """One output row y = program_id(0) of the (H+1, W+1, B, 4C) cotangent.
+
+    g_cur/w_cur hold input row min(y, H-1); g_prev/w_prev hold row
+    max(y-1, 0) — groups with py=0 read cur (invalid at y=H), py=1 read
+    prev (invalid at y=0).
+    """
+    i = pl.program_id(0)
+    halves = []
+    for py in range(2):
+        g = g_cur[...] if py == 0 else g_prev[...]
+        # Mosaic's VPU has no sub-word vector compare ("Target does not
+        # support this comparison" on i8 cmpi) — widen the u8 winner to i32.
+        w = (w_cur[...] if py == 0 else w_prev[...]).astype(jnp.int32)
+        row_ok = (i < h) if py == 0 else (i >= 1)
+        zcol = jnp.zeros((1, 1) + g.shape[2:], g.dtype)
+        shifted = []
+        for px in range(2):
+            go = py * 2 + px
+            contrib = jnp.where((w == go) & row_ok, g, 0).astype(g.dtype)
+            # Place at output columns [px, W+px): group px=0 zero-pads the
+            # last column, px=1 the first (the XLA twin's spatial pad).
+            pieces = [contrib, zcol] if px == 0 else [zcol, contrib]
+            shifted.append(jnp.concatenate(pieces, axis=1))
+        halves.append(jnp.concatenate(shifted, axis=3))  # (1, W+1, B, 2C)
+    out[:, :, :, : 2 * c] = halves[0]
+    out[:, :, :, 2 * c :] = halves[1]
+
+
+def phase_pool_bwd_pallas(
+    g: jnp.ndarray, win: jnp.ndarray, interpret: bool | None = None
+) -> jnp.ndarray:
+    """(B, H, W, C) cotangent + u8 winner -> (B, H+1, W+1, 4C) cotangent.
+
+    Bit-identical to the XLA pad+concat assembly in
+    `models/vgg.py::_phase_pool_bwd` (parity-tested in interpret mode;
+    exact on device).  win values outside 0..3 (255 = relu-clamped)
+    contribute zero everywhere, matching the XLA twin.
+    """
+    if interpret is None:
+        interpret = INTERPRET
+    b, h, w, c = g.shape
+    gt = jnp.transpose(g, (1, 2, 0, 3))  # (H, W, B, C) — bitcast, see above
+    wt = jnp.transpose(win, (1, 2, 0, 3))
+
+    in_row = pl.BlockSpec((1, w, b, c), lambda i: (jnp.minimum(i, h - 1), 0, 0, 0))
+    prev_row = pl.BlockSpec((1, w, b, c), lambda i: (jnp.maximum(i - 1, 0), 0, 0, 0))
+    out_t = pl.pallas_call(
+        functools.partial(_kernel, h=h, c=c),
+        grid=(h + 1,),
+        in_specs=[in_row, in_row, prev_row, prev_row],
+        out_specs=pl.BlockSpec((1, w + 1, b, 4 * c), lambda i: (i, 0, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((h + 1, w + 1, b, 4 * c), g.dtype),
+        interpret=interpret,
+    )(gt, wt, gt, wt)
+    return jnp.transpose(out_t, (2, 0, 1, 3))

@@ -1,0 +1,65 @@
+"""Phase-pool backward Pallas kernel vs the XLA pad+concat twin
+(interpret mode on CPU) — bit-exact assembly, and end-to-end gradient
+parity through the packed conv1 block's custom VJP."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import dan_tpu.ops.phase_pool_pallas as ppp
+from dan_tpu.models.vgg import (
+    _phase_pool_bwd_xla,
+    conv1_block_packed,
+    init_vgg_params,
+)
+from dan_tpu.config import ModelConfig
+from dan_tpu.ops.phase_pool_pallas import phase_pool_bwd_pallas
+
+
+def _random_case(key, b, h, w, c, dtype):
+    kg, kw, kr = jax.random.split(key, 3)
+    g = jax.random.normal(kg, (b, h, w, c), dtype)
+    # Winner indices 0..3 plus the relu-clamped 255 sentinel.
+    win = jax.random.randint(kw, (b, h, w, c), 0, 5).astype(jnp.uint8)
+    win = jnp.where(win == 4, jnp.uint8(255), win)
+    return g, win
+
+
+@pytest.mark.parametrize("dtype", [jnp.float32, jnp.bfloat16])
+@pytest.mark.parametrize("b,h,w,c", [(2, 6, 6, 8), (1, 5, 7, 16), (3, 8, 4, 8)])
+def test_kernel_matches_xla_assembly(dtype, b, h, w, c):
+    g, win = _random_case(jax.random.PRNGKey(0), b, h, w, c, dtype)
+    want = _phase_pool_bwd_xla(win, g)
+    got = phase_pool_bwd_pallas(g, win, interpret=True)
+    assert got.shape == (b, h + 1, w + 1, 4 * c)
+    assert got.dtype == want.dtype
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_all_clamped_winner_gives_zero_cotangent():
+    g = jnp.ones((2, 4, 4, 8), jnp.float32)
+    win = jnp.full((2, 4, 4, 8), 255, jnp.uint8)
+    got = phase_pool_bwd_pallas(g, win, interpret=True)
+    np.testing.assert_array_equal(np.asarray(got), 0.0)
+
+
+def test_conv1_block_grad_parity_pallas_vs_xla(monkeypatch):
+    """jax.grad through conv1_block_packed must be bit-identical with the
+    Pallas backward (interpret mode) and the XLA assembly."""
+    monkeypatch.setattr(ppp, "INTERPRET", True)
+    cfg = ModelConfig()
+    params = init_vgg_params(jax.random.PRNGKey(1), cfg)
+    p1 = {k: params[k] for k in ("conv1_1", "conv1_2")}
+    x = jax.random.uniform(jax.random.PRNGKey(2), (2, 16, 16, 3), jnp.float32)
+
+    def loss(p, x, pallas_bwd):
+        return jnp.sum(conv1_block_packed(p, x, pallas_bwd) ** 2)
+
+    gx_xla, gp_xla = jax.grad(loss, argnums=(1, 0))(p1, x, False)
+    gx_pl, gp_pl = jax.grad(loss, argnums=(1, 0))(p1, x, True)
+    np.testing.assert_array_equal(np.asarray(gx_xla), np.asarray(gx_pl))
+    for name in gp_xla:
+        for leaf in gp_xla[name]:
+            np.testing.assert_array_equal(
+                np.asarray(gp_xla[name][leaf]), np.asarray(gp_pl[name][leaf])
+            )
