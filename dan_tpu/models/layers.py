@@ -92,7 +92,15 @@ def l2_normalize(params, x: jnp.ndarray, eps: float = 1e-12) -> jnp.ndarray:
 
 
 def upsample2x(x: jnp.ndarray, method: str = "bilinear") -> jnp.ndarray:
-    """2x spatial upsample (TF half-pixel bilinear semantics via jax.image)."""
+    """2x spatial upsample (TF half-pixel bilinear semantics via jax.image).
+
+    Stays the dense weight-matrix dot jax.image.resize lowers to: an
+    elementwise 2-tap reformulation (exact same samples, stack+reshape
+    row interleave) was measured at batch 128 on v5e and lost BADLY —
+    XLA:TPU lowers the interleave as 5-D slice/pad loop fusions
+    (~33 ms/iter of new HBM ops; detect 279.6 -> 366.8 ms/iter) while
+    the two resize dots cost only ~6 ms.  See BASELINE.md round-3 rows.
+    """
     b, h, w, c = x.shape
     return jax.image.resize(x, (b, 2 * h, 2 * w, c), method=method).astype(x.dtype)
 
