@@ -48,6 +48,7 @@ def detector_forward(
     images: jnp.ndarray,
     config: ModelConfig,
     for_inference: bool = False,
+    data_island=None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """(B, H, W, 3) f32 -> (cls_logits (B, A, 2) f32, loc_preds (B, A, 4) f32).
 
@@ -56,9 +57,12 @@ def detector_forward(
 
     for_inference: caller guarantees no gradients flow through this call —
     lets the backbone use inference-only fused kernels (see vgg_forward).
+    data_island: optional (Mesh, axis) the batch dim is sharded over —
+    forwarded to the backbone so its Pallas backward runs in a shard_map
+    island on multi-chip meshes (see vgg_forward).
     """
     x = images.astype(jnp.dtype(config.compute_dtype))
-    taps = vgg_forward(params["backbone"], x, config, for_inference)
+    taps = vgg_forward(params["backbone"], x, config, for_inference, data_island)
     taps = lfpn_forward(params["lfpn"], taps, config)
     # L2-normalize shallow (post-LFPN) taps before the heads
     # [K — S3FD normalizes conv3_3/4_3/5_3; PyramidBox normalizes the fused

@@ -90,17 +90,32 @@ def init_vgg_params(key, config: ModelConfig) -> Dict:
     return params
 
 
+def _phase_pool_pallas_active() -> bool:
+    """Can the phase-pool backward kernel actually run here?  True on the
+    real TPU, or anywhere when the module-level INTERPRET switch is set
+    (tests / DAN_DRYRUN_PALLAS=interpret run it emulated on CPU)."""
+    if _on_tpu():
+        return True
+    from dan_tpu.ops import phase_pool_pallas as ppp
+
+    return ppp.INTERPRET
+
+
 def vgg_forward(
     params: Dict,
     x: jnp.ndarray,
     config: ModelConfig,
     for_inference: bool = False,
+    data_island=None,
 ) -> Dict[str, jnp.ndarray]:
     """Run the backbone; returns the six detection taps by name.
 
     x: (B, H, W, 3) in compute dtype (mean-subtracted pixels).
     for_inference: the caller guarantees no gradients flow (detect/eval
     graphs) — enables the fused Pallas conv1 kernel (no VJP) on TPU.
+    data_island: optional (Mesh, axis_name) under which the batch dim is
+    sharded — routes the phase-pool backward's Pallas custom call through
+    a shard_map island so multi-chip training keeps the kernel.
     """
     # NOTE: round 2 also built two fused conv1 Pallas kernels (conv1_2+pool;
     # + in-kernel conv1_1); both were exact-parity on TPU but net LOSSES
@@ -111,14 +126,17 @@ def vgg_forward(
     taps: Dict[str, jnp.ndarray] = {}
     for bi, block in enumerate(VGG_BLOCKS):
         if bi == 0 and config.conv1_packed and x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0:
-            # Pallas phase-pool backward: single-device TPU graphs only
-            # (GSPMD has no partitioning rule for the custom call; the
-            # train-step builder clears the flag on multi-device meshes —
-            # train/loop.py).  Inference graphs never run the backward, so
-            # the flag is inert there either way.
-            x = conv1_block_packed(
-                params, x, config.phase_pool_pallas_bwd and _on_tpu()
-            )
+            # Pallas phase-pool backward: direct on single-device TPU
+            # graphs; on multi-device meshes the train-step builder passes
+            # data_island=(mesh, axis) and the backward runs inside a
+            # shard_map island over the batch axis (GSPMD has no
+            # partitioning rule for the custom call — same pattern as the
+            # matcher island in train/loop.py).  Inference graphs never
+            # run the backward, so the mode is inert there either way.
+            mode: object = False
+            if config.phase_pool_pallas_bwd and _phase_pool_pallas_active():
+                mode = data_island if data_island is not None else True
+            x = conv1_block_packed(params, x, mode)
             continue
         for name, _ in block:
             x = conv2d(params[name], x)
@@ -225,9 +243,7 @@ def _phase_slices(r: jnp.ndarray, co: int):
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
-def _phase_pool(
-    r: jnp.ndarray, b2: jnp.ndarray, pallas_bwd: bool = False
-) -> jnp.ndarray:
+def _phase_pool(r: jnp.ndarray, b2: jnp.ndarray, pallas_bwd=False) -> jnp.ndarray:
     """pool1 over the packed conv1_2 phases: relu(max_phases(r) + b2).
 
     Identical to max_phases(relu(r + b2)) — float max commutes exactly with
@@ -292,7 +308,25 @@ def _phase_pool_bwd(pallas_bwd, res, g):
     if pallas_bwd:
         from dan_tpu.ops.phase_pool_pallas import phase_pool_bwd_pallas
 
-        gr = phase_pool_bwd_pallas(g, win)
+        if isinstance(pallas_bwd, tuple):
+            # (Mesh, axis): the batch dim is sharded — run the custom call
+            # per-shard inside a shard_map island (GSPMD cannot partition
+            # it; check_vma=False for the same reason as the matcher island
+            # in train/loop.py).  Safe here because nothing differentiates
+            # through the backward itself.
+            import jax
+            from jax.sharding import PartitionSpec as P
+
+            mesh, axis = pallas_bwd
+            gr = jax.shard_map(
+                phase_pool_bwd_pallas,
+                mesh=mesh,
+                in_specs=(P(axis), P(axis)),
+                out_specs=P(axis),
+                check_vma=False,
+            )(g, win)
+        else:
+            gr = phase_pool_bwd_pallas(g, win)
     else:
         gr = _phase_pool_bwd_xla(win, g)
     gb2 = (
@@ -307,12 +341,16 @@ _phase_pool.defvjp(_phase_pool_fwd, _phase_pool_bwd)
 
 
 def conv1_block_packed(
-    params: Dict, x: jnp.ndarray, pallas_bwd: bool = False
+    params: Dict, x: jnp.ndarray, pallas_bwd=False
 ) -> jnp.ndarray:
     """relu(conv1_1) -> relu(conv1_2) -> maxpool2x2/2, phase-packed.
 
     x: (B, H, W, 3), H and W even.  Returns (B, H/2, W/2, 64) == the
     standard path's pool1 output (up to f32 accumulation order).
+
+    pallas_bwd: False = XLA backward assembly; True = Pallas kernel;
+    (Mesh, axis) = Pallas kernel inside a shard_map island over the
+    sharded batch axis (see _phase_pool_bwd).
     """
     dt = x.dtype
 

@@ -24,12 +24,23 @@ C), so XLA lowers the transposes as bitcasts, not copies (verify in
 hlo_stats: no relayout fusion should appear around the custom call).
 
 Grid: one step per output row y in [0, H]; the y-halo (group py needs
-input row y-py) is fed by passing each input twice with `cur` (row y,
-clamped) and `prev` (row y-1, clamped) block specs; clamp-invalid rows
-are zeroed in-kernel.  The x-shift is a static in-kernel concat along
-the untiled W axis.  Channel groups are assembled in 2C-wide pairs so
-both output stores land on 128-lane-aligned offsets (C = 64 on the real
-model).
+input row y-py) is fed by a VMEM scratch carry — the TPU grid runs
+sequentially, so each step reads row min(y, H-1) once from HBM, takes
+row y-1 from the single-slot scratch written by the previous step, then
+overwrites the slot with its own row (in-kernel ref load/store order
+makes the single slot safe; the first step's uninitialized scratch is
+masked by the row_ok predicate, which selects 0 regardless of the
+garbage operand).  The original formulation fed each input TWICE via
+`cur`/`prev` block specs — measured 3.12 ms/step at batch 16 on v5e;
+the carry halves the input DMA bytes (g and the u8 winner are both
+lane-padded 64->128 by the {3,0,2,1} producer layout, so reads are the
+expensive direction).  Scratch is single-slot rather than
+parity-double-buffered because scoped VMEM is the binding constraint:
+at batch 16 the two-slot variant's 16.95 MB exceeded the 16 MB scoped
+limit (Mosaic's own double-buffered in/out pipeline windows take
+~13.8 MB).  The x-shift is a static in-kernel concat along the untiled
+W axis.  Channel groups are assembled in 2C-wide pairs so both output
+stores land on 128-lane-aligned offsets (C = 64 on the real model).
 """
 from __future__ import annotations
 
@@ -38,6 +49,7 @@ import functools
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 # Tests flip this to run the kernel in interpret mode on CPU (same switch
 # convention as the matcher/NMS kernels' `interpret` kwarg, but readable
@@ -45,21 +57,26 @@ from jax.experimental import pallas as pl
 INTERPRET = False
 
 
-def _kernel(g_cur, w_cur, g_prev, w_prev, out, *, h: int, c: int):
+def _kernel(g_cur, w_cur, out, g_scr, w_scr, *, h: int, c: int):
     """One output row y = program_id(0) of the (H+1, W+1, B, 4C) cotangent.
 
-    g_cur/w_cur hold input row min(y, H-1); g_prev/w_prev hold row
-    max(y-1, 0) — groups with py=0 read cur (invalid at y=H), py=1 read
-    prev (invalid at y=0).
+    g_cur/w_cur hold input row min(y, H-1) (invalid at y=H); the py=1
+    groups read row y-1 from the scratch carry (invalid at y=0).
     """
     i = pl.program_id(0)
+    g_c = g_cur[...]
+    w_c = w_cur[...]
     halves = []
     for py in range(2):
-        g = g_cur[...] if py == 0 else g_prev[...]
+        if py == 0:
+            g, w_raw, row_ok = g_c, w_c, i < h
+        else:
+            g = g_scr[...]
+            w_raw = w_scr[...]
+            row_ok = i >= 1
         # Mosaic's VPU has no sub-word vector compare ("Target does not
         # support this comparison" on i8 cmpi) — widen the u8 winner to i32.
-        w = (w_cur[...] if py == 0 else w_prev[...]).astype(jnp.int32)
-        row_ok = (i < h) if py == 0 else (i >= 1)
+        w = w_raw.astype(jnp.int32)
         zcol = jnp.zeros((1, 1) + g.shape[2:], g.dtype)
         shifted = []
         for px in range(2):
@@ -72,6 +89,8 @@ def _kernel(g_cur, w_cur, g_prev, w_prev, out, *, h: int, c: int):
         halves.append(jnp.concatenate(shifted, axis=3))  # (1, W+1, B, 2C)
     out[:, :, :, : 2 * c] = halves[0]
     out[:, :, :, 2 * c :] = halves[1]
+    g_scr[...] = g_c
+    w_scr[...] = w_c
 
 
 def phase_pool_bwd_pallas(
@@ -91,13 +110,16 @@ def phase_pool_bwd_pallas(
     wt = jnp.transpose(win, (1, 2, 0, 3))
 
     in_row = pl.BlockSpec((1, w, b, c), lambda i: (jnp.minimum(i, h - 1), 0, 0, 0))
-    prev_row = pl.BlockSpec((1, w, b, c), lambda i: (jnp.maximum(i - 1, 0), 0, 0, 0))
     out_t = pl.pallas_call(
         functools.partial(_kernel, h=h, c=c),
         grid=(h + 1,),
-        in_specs=[in_row, in_row, prev_row, prev_row],
+        in_specs=[in_row, in_row],
         out_specs=pl.BlockSpec((1, w + 1, b, 4 * c), lambda i: (i, 0, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((h + 1, w + 1, b, 4 * c), g.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((1, w, b, c), g.dtype),
+            pltpu.VMEM((1, w, b, c), win.dtype),
+        ],
         interpret=interpret,
-    )(gt, wt, gt, wt)
+    )(gt, wt)
     return jnp.transpose(out_t, (2, 0, 1, 3))

@@ -15,7 +15,6 @@ params + gt boxes).
 """
 from __future__ import annotations
 
-import dataclasses
 from typing import Any, Dict, NamedTuple, Tuple
 
 import jax
@@ -108,15 +107,20 @@ def make_train_step(config: DANConfig, mesh=None):
     """Build the pure (state, batch) -> (state, metrics) step function."""
     tx = make_optimizer(config.train)
     model_cfg = config.model
-    if mesh is not None and mesh.devices.size > 1 and model_cfg.phase_pool_pallas_bwd:
-        # The Pallas phase-pool backward is a custom call GSPMD cannot
-        # partition — under a multi-device mesh it would be replicated
-        # (every chip computing the global batch).  The XLA twin is
-        # bit-identical, so multi-chip steps use it instead.
-        model_cfg = dataclasses.replace(model_cfg, phase_pool_pallas_bwd=False)
+    # The Pallas phase-pool backward is a custom call GSPMD cannot
+    # partition — on multi-device meshes the backbone runs it inside a
+    # shard_map island over the data axis instead (same pattern as the
+    # matcher island in preprocess_and_match).
+    island = (
+        (mesh, config.mesh.data_axis)
+        if mesh is not None and mesh.devices.size > 1
+        else None
+    )
 
     def loss_fn(params, images, targets):
-        cls_logits, loc_preds = detector_forward(params, images, model_cfg)
+        cls_logits, loc_preds = detector_forward(
+            params, images, model_cfg, data_island=island
+        )
         return detection_loss(
             cls_logits,
             loc_preds,

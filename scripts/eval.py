@@ -38,9 +38,12 @@ def main():
     ap.add_argument(
         "--tta_batch",
         type=int,
-        default=4,
+        default=16,
         help="TTA (image, variant) units per chip per launch; >1 amortizes "
-        "dispatch latency (one compiled executable per bucket per value)",
+        "dispatch latency (one compiled executable per bucket per value). "
+        "Default 16 from the measured r3 sweep (BASELINE.md): at WIDER-val "
+        "scale it cuts launches ~4x vs 4 while per-launch compute stays "
+        "far below the dispatch floor; beyond ~32 launches are bucket-bound",
     )
     ap.add_argument(
         "--vote_batch",

@@ -43,6 +43,67 @@ def test_all_clamped_winner_gives_zero_cotangent():
     np.testing.assert_array_equal(np.asarray(got), 0.0)
 
 
+def test_island_assembly_bit_parity_on_mesh(monkeypatch):
+    """Multi-chip configuration: the Pallas backward inside a shard_map
+    island over the ('data',) mesh (what a real v5e-8 runs compiled) must
+    assemble a bit-identical cotangent — mirrors the matcher/TTA island
+    tests on the 8-device CPU mesh."""
+    from jax.sharding import PartitionSpec as P
+
+    from dan_tpu.parallel.mesh import make_mesh
+
+    monkeypatch.setattr(ppp, "INTERPRET", True)
+    mesh = make_mesh()
+    n = mesh.devices.size
+    assert n > 1, "conftest must provide the virtual multi-device CPU mesh"
+    g, win = _random_case(jax.random.PRNGKey(3), n, 8, 8, 8, jnp.float32)
+    want = _phase_pool_bwd_xla(win, g)
+    axis = mesh.axis_names[0]
+    got = jax.shard_map(
+        phase_pool_bwd_pallas,
+        mesh=mesh,
+        in_specs=(P(axis), P(axis)),
+        out_specs=P(axis),
+        check_vma=False,
+    )(g, win)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_island_grad_close_on_mesh(monkeypatch):
+    """End-to-end jax.grad through the packed conv1 block with the island
+    backward: the custom-VJP + shard_map plumbing must produce the XLA
+    twin's gradients.  Tolerance, not bit-equality: once the cotangent is
+    mesh-sharded, the downstream conv grads run SPMD (per-shard partials
+    + cross-device reduce), which changes f32 accumulation order."""
+    from dan_tpu.parallel.mesh import make_mesh
+
+    monkeypatch.setattr(ppp, "INTERPRET", True)
+    mesh = make_mesh()
+    n = mesh.devices.size
+    cfg = ModelConfig()
+    params = init_vgg_params(jax.random.PRNGKey(1), cfg)
+    p1 = {k: params[k] for k in ("conv1_1", "conv1_2")}
+    x = jax.random.uniform(jax.random.PRNGKey(2), (n, 16, 16, 3), jnp.float32)
+
+    def loss(p, x, mode):
+        return jnp.sum(conv1_block_packed(p, x, mode) ** 2)
+
+    gx_xla, gp_xla = jax.grad(loss, argnums=(1, 0))(p1, x, False)
+    island = (mesh, mesh.axis_names[0])
+    gx_isl, gp_isl = jax.grad(loss, argnums=(1, 0))(p1, x, island)
+    np.testing.assert_allclose(
+        np.asarray(gx_xla), np.asarray(gx_isl), rtol=1e-4, atol=1e-4
+    )
+    for name in gp_xla:
+        for leaf in gp_xla[name]:
+            np.testing.assert_allclose(
+                np.asarray(gp_xla[name][leaf]),
+                np.asarray(gp_isl[name][leaf]),
+                rtol=1e-4,
+                atol=1e-4,
+            )
+
+
 def test_conv1_block_grad_parity_pallas_vs_xla(monkeypatch):
     """jax.grad through conv1_block_packed must be bit-identical with the
     Pallas backward (interpret mode) and the XLA assembly."""
