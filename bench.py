@@ -9,12 +9,25 @@ does with sess.run + host numpy, all fused into one XLA executable.
 
 vs_baseline: ratio against the TF1-on-CPU stand-in (the same pipeline
 executed on this host's CPU backend; the reference itself cannot run here —
-see SURVEY.md §0).  The CPU number is measured once and cached in
-BENCH_CPU_BASELINE.json.
+see SURVEY.md §0).  The CPU number is read from BENCH_CPU_BASELINE.json;
+re-measuring it (a ~35 min batch-128 run on the 1-core host) is OPT-IN via
+DAN_BENCH_MEASURE_CPU=1 and never happens implicitly (VERDICT r3 item 1:
+an implicit re-measure destroyed two rounds of driver bench evidence).
+
+Evidence-chain hardening (VERDICT r3):
+  - The headline JSON prints IMMEDIATELY after the TPU measurement; no
+    baseline-cache problem can suppress it (vs_baseline is null + a stderr
+    warning when the cache is stale/missing).
+  - No silent CPU fallback: if no non-CPU device exists we abort with a
+    clear message (override for local testing: DAN_BENCH_ALLOW_CPU=1).
+  - A total wall-clock watchdog (DAN_BENCH_DEADLINE_S, default 1500 s)
+    aborts informatively instead of letting the driver's timeout produce
+    an opaque rc=124.
 """
 import json
 import os
 import sys
+import threading
 import time
 
 # Make both the TPU (axon) and CPU backends available in one process.
@@ -22,6 +35,27 @@ if os.environ.get("JAX_PLATFORMS") and "cpu" not in os.environ["JAX_PLATFORMS"]:
     os.environ["JAX_PLATFORMS"] = os.environ["JAX_PLATFORMS"] + ",cpu"
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+# Total wall-clock watchdog: armed before ANY jax work (device init,
+# compile, measure) so every hang mode dies with a message, not rc=124.
+DEADLINE_S = float(os.environ.get("DAN_BENCH_DEADLINE_S", "1500"))
+_t_start = time.monotonic()
+
+
+def _deadline_watch():
+    remaining = DEADLINE_S - (time.monotonic() - _t_start)
+    if remaining > 0:
+        time.sleep(remaining)
+    print(
+        f"bench: total wall clock exceeded {DEADLINE_S:.0f}s — aborting "
+        "(cold remote compiles take 3-15 min/graph; persistent XLA cache "
+        "missing or invalidated? axon tunnel slow?)",
+        file=sys.stderr,
+    )
+    os._exit(4)
+
+
+threading.Thread(target=_deadline_watch, daemon=True).start()
 
 import jax
 import jax.numpy as jnp
@@ -88,6 +122,80 @@ def measure(detect, params, images, iters, batch, warmup=WARMUP_ITERS):
     return iters * batch / dt
 
 
+def config_fingerprint(cfg):
+    import hashlib
+
+    return hashlib.sha256(repr(cfg).encode()).hexdigest()[:16]
+
+
+def read_cpu_baseline(cfg_fp):
+    """Return the cached CPU img/s, or (None, reason) when unusable.
+
+    Strict key check (cached config_fp must be present AND current) so the
+    runtime check and tests/unit/test_bench_baseline_cache.py enforce the
+    same invariant (ADVICE r3)."""
+    if not os.path.exists(CPU_BASELINE_CACHE):
+        return None, "BENCH_CPU_BASELINE.json missing"
+    try:
+        cached = json.load(open(CPU_BASELINE_CACHE))
+    except Exception as e:
+        return None, f"BENCH_CPU_BASELINE.json unreadable: {e}"
+    if cached.get("batch") != BATCH:
+        return None, f"cache batch {cached.get('batch')} != bench batch {BATCH}"
+    if cached.get("config_fp") != cfg_fp:
+        return None, (
+            f"cache config_fp {cached.get('config_fp')!r} is stale for the "
+            f"current config ({cfg_fp!r})"
+        )
+    return cached["images_per_sec"], None
+
+
+def measure_cpu_baseline(cfg, images_np, cfg_fp):
+    """Measure the TF1-on-CPU stand-in and update the cache file.
+
+    ~35 min at batch 128 on the 1-core host — ONLY ever called under
+    DAN_BENCH_MEASURE_CPU=1, after the headline has already printed."""
+    import dataclasses
+
+    from dan_tpu.models.detector import init_detector_params
+
+    print(
+        f"bench: measuring CPU baseline at batch {BATCH} — this takes "
+        "~35 min on the 1-core host",
+        file=sys.stderr,
+    )
+    cpu = jax.devices("cpu")[0]
+    # Pallas/Mosaic doesn't lower for the CPU backend.
+    cfg_cpu = dataclasses.replace(
+        cfg,
+        postprocess=dataclasses.replace(cfg.postprocess, use_pallas_nms=False),
+    )
+    params_c = jax.device_put(
+        init_detector_params(jax.random.PRNGKey(0), cfg.model), cpu
+    )
+    images_c = jax.device_put(jnp.asarray(images_np), cpu)
+    detect_c = build_detect_fn(cfg_cpu, cpu)
+    cpu_ips = measure(detect_c, params_c, images_c, 2, BATCH, warmup=1)
+    json.dump(
+        {
+            "images_per_sec": cpu_ips,
+            "batch": BATCH,
+            "config_fp": cfg_fp,
+            "note": "640x640 detect pipeline on host CPU "
+            "(TF1-on-CPU stand-in), batch-matched to the TPU run; "
+            "re-measure with DAN_BENCH_MEASURE_CPU=1 bench.py on an idle "
+            "host after pipeline-code changes (config changes invalidate "
+            "it automatically)",
+        },
+        open(CPU_BASELINE_CACHE, "w"),
+    )
+    print(
+        f"cpu baseline: {cpu_ips:.3f} img/s @ batch {BATCH} (cached)",
+        file=sys.stderr,
+    )
+    return cpu_ips
+
+
 def main():
     from dan_tpu.config import default_config
     from dan_tpu.models.detector import init_detector_params
@@ -100,9 +208,6 @@ def main():
     # Device-init watchdog: when the axon tunnel is down, jax.devices()
     # hangs indefinitely (observed 2026-08-17, multi-hour outage) — abort
     # with a clear message instead of hanging the driver's bench run.
-    import os
-    import threading
-
     init_done = threading.Event()
 
     def _watch():
@@ -117,7 +222,25 @@ def main():
     threading.Thread(target=_watch, daemon=True).start()
     tpu_devices = [d for d in jax.devices() if d.platform != "cpu"]
     init_done.set()
-    device = tpu_devices[0] if tpu_devices else jax.devices()[0]
+    if tpu_devices:
+        device = tpu_devices[0]
+    elif os.environ.get("DAN_BENCH_ALLOW_CPU") == "1":
+        device = jax.devices()[0]
+        print(
+            "bench: DAN_BENCH_ALLOW_CPU=1 — measuring the headline on CPU; "
+            "this number is NOT the north-star metric",
+            file=sys.stderr,
+        )
+    else:
+        # TPU-or-abort: a silent CPU 'headline' grinds for hours and
+        # produces a meaningless number (VERDICT r3 item 2).
+        print(
+            "bench: no non-CPU jax device found (axon tunnel down / TPU "
+            "unavailable) — aborting instead of benchmarking on CPU. "
+            "Set DAN_BENCH_ALLOW_CPU=1 to override for local testing.",
+            file=sys.stderr,
+        )
+        sys.exit(5)
     print(f"bench device: {device}", file=sys.stderr)
 
     params = jax.device_put(
@@ -128,72 +251,30 @@ def main():
     ips = measure(detect, params, images, MEASURE_ITERS, BATCH)
     print(f"tpu: {ips:.2f} img/s/chip", file=sys.stderr)
 
-    # --- CPU stand-in baseline (cached; measured at the SAME batch size so
-    # the ratio is batch-matched — VERDICT r1 weak item 2). The cache is
-    # also keyed on a config fingerprint so model/postprocess config
-    # changes invalidate it (code-only pipeline changes still require
-    # deleting BENCH_CPU_BASELINE.json by hand — noted in the file). ---
-    import hashlib
-
-    cfg_fp = hashlib.sha256(repr(cfg).encode()).hexdigest()[:16]
-    cpu_ips = None
-    if os.path.exists(CPU_BASELINE_CACHE):
-        try:
-            cached = json.load(open(CPU_BASELINE_CACHE))
-            if cached.get("batch") == BATCH and (
-                cached.get("config_fp", cfg_fp) == cfg_fp
-            ):
-                cpu_ips = cached["images_per_sec"]
-        except Exception:
-            cpu_ips = None
+    # --- Headline FIRST: nothing after this point can suppress it. ---
+    cfg_fp = config_fingerprint(cfg)
+    cpu_ips, reason = read_cpu_baseline(cfg_fp)
     if cpu_ips is None:
-        try:
-            import dataclasses
-
-            cpu = jax.devices("cpu")[0]
-            # Pallas/Mosaic doesn't lower for the CPU backend.
-            cfg_cpu = dataclasses.replace(
-                cfg,
-                postprocess=dataclasses.replace(
-                    cfg.postprocess, use_pallas_nms=False
-                ),
-            )
-            params_c = jax.device_put(
-                init_detector_params(jax.random.PRNGKey(0), cfg.model), cpu
-            )
-            images_c = jax.device_put(jnp.asarray(images_np), cpu)
-            detect_c = build_detect_fn(cfg_cpu, cpu)
-            cpu_ips = measure(detect_c, params_c, images_c, 2, BATCH, warmup=1)
-            json.dump(
-                {
-                    "images_per_sec": cpu_ips,
-                    "batch": BATCH,
-                    "config_fp": cfg_fp,
-                    "note": "640x640 detect pipeline on host CPU "
-                    "(TF1-on-CPU stand-in), batch-matched to the TPU run; "
-                    "delete this file to re-measure after pipeline-code "
-                    "changes (config changes invalidate it automatically)",
-                },
-                open(CPU_BASELINE_CACHE, "w"),
-            )
-            print(
-                f"cpu baseline: {cpu_ips:.3f} img/s @ batch {BATCH} (cached)",
-                file=sys.stderr,
-            )
-        except Exception as e:  # CPU backend unavailable: report ratio vs target
-            print(f"cpu baseline unavailable: {e}", file=sys.stderr)
-
-    vs_baseline = ips / cpu_ips if cpu_ips else float("nan")
+        print(
+            f"bench: CPU baseline unusable ({reason}); vs_baseline=null. "
+            "Re-measure with DAN_BENCH_MEASURE_CPU=1 on an idle host.",
+            file=sys.stderr,
+        )
     print(
         json.dumps(
             {
                 "metric": "images_per_sec_per_chip_640x640_inference",
                 "value": round(ips, 2),
                 "unit": "images/sec/chip",
-                "vs_baseline": round(vs_baseline, 2) if cpu_ips else None,
+                "vs_baseline": round(ips / cpu_ips, 2) if cpu_ips else None,
             }
         )
     )
+    sys.stdout.flush()
+
+    # --- CPU stand-in baseline re-measure: OPT-IN ONLY. ---
+    if cpu_ips is None and os.environ.get("DAN_BENCH_MEASURE_CPU") == "1":
+        measure_cpu_baseline(cfg, images_np, cfg_fp)
 
 
 if __name__ == "__main__":

@@ -218,6 +218,42 @@ class Detector:
             out = {k: v[keep] for k, v in out.items()}
         return out
 
+    def _get_tta_runner(self):
+        runner = getattr(self, "_tta_runner", None)
+        if runner is None:
+            from dan_tpu.eval.tta import TTARunner
+
+            runner = TTARunner(self.params, self.config)
+            self._tta_runner = runner
+        return runner
+
+    def warmup_tta(
+        self,
+        sizes,
+        mesh=None,
+        tta_batch: int = 1,
+        vote_batch: Optional[int] = None,
+        threads: int = 8,
+    ) -> int:
+        """Pre-compile every TTA executable the given (h, w) image sizes
+        will need — the serving-startup analog of warmup() for the TTA
+        path, threading through to eval.tta.TTARunner.warmup with the same
+        knobs the eval CLI exposes (--tta_batch / --vote_batch).  Returns
+        the number of executables warmed."""
+        from dan_tpu.eval.tta import TTARunner
+
+        runner = self._get_tta_runner()
+        return runner.warmup(
+            sizes,
+            mesh=mesh,
+            batch_per_device=tta_batch,
+            threads=threads,
+            vote_batch=(
+                vote_batch if vote_batch is not None
+                else TTARunner.DEFAULT_VOTE_BATCH
+            ),
+        )
+
     def detect_tta(
         self, image: np.ndarray, score_threshold: Optional[float] = None
     ) -> Dict[str, np.ndarray]:
@@ -225,18 +261,39 @@ class Detector:
         reference's accuracy-mode eval path (config 4 [B]), same detection
         dict as detect().  The TTARunner (compiled per resolution bucket)
         is cached on the Detector, so repeated calls reuse executables;
-        for dataset-scale work use eval.tta.TTARunner.run_dataset."""
-        runner = getattr(self, "_tta_runner", None)
-        if runner is None:
-            from dan_tpu.eval.tta import TTARunner
-
-            runner = TTARunner(self.params, self.config)
-            self._tta_runner = runner
+        for dataset-scale work use detect_tta_dataset / warmup_tta."""
+        runner = self._get_tta_runner()
         out = runner.detect_tta(self._check_image(image))
         if score_threshold is not None:
             keep = out["scores"] >= score_threshold
             out = {k: v[keep] for k, v in out.items()}
         return out
+
+    def detect_tta_dataset(
+        self,
+        items,
+        mesh=None,
+        tta_batch: int = 1,
+        vote_batch: Optional[int] = None,
+        progress_every: int = 0,
+    ) -> Dict[str, Dict[str, np.ndarray]]:
+        """Dataset-scale TTA: iterable of (key, image) -> {key: detection
+        dict}, batched per resolution bucket and (optionally) sharded over
+        a mesh — the API-surface twin of the eval CLI's run_dataset path,
+        with the same tta_batch/vote_batch knobs."""
+        from dan_tpu.eval.tta import TTARunner
+
+        runner = self._get_tta_runner()
+        return runner.run_dataset(
+            ((k, self._check_image(im)) for k, im in items),
+            mesh=mesh,
+            batch_per_device=tta_batch,
+            progress_every=progress_every,
+            vote_batch=(
+                vote_batch if vote_batch is not None
+                else TTARunner.DEFAULT_VOTE_BATCH
+            ),
+        )
 
 
 def _looks_like_tf_ckpt(path: str) -> bool:

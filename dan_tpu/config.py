@@ -125,9 +125,10 @@ class ModelConfig:
     conv1_packed: bool = True
     # Pallas kernel for the phase-pool BACKWARD assembly (one HBM pass vs
     # XLA's two — ops/phase_pool_pallas.py; bit-identical routing).  Takes
-    # effect on TPU backends only; the train-step builder clears it on
-    # multi-device meshes (GSPMD cannot partition the custom call — the
-    # XLA twin runs there, train/loop.py).
+    # effect on TPU backends only; on multi-device meshes the train-step
+    # builder routes it through a shard_map island over the data axis
+    # (GSPMD cannot partition the custom call directly — train/loop.py
+    # make_train_step + models/vgg.py conv1_block_packed).
     phase_pool_pallas_bwd: bool = True
     # Fused conv1 Pallas kernels (two versions) were built, measured
     # exact-parity on TPU, found to be net in-graph LOSSES (conv-output

@@ -120,6 +120,14 @@ def phase_pool_bwd_pallas(
             pltpu.VMEM((1, w, b, c), g.dtype),
             pltpu.VMEM((1, w, b, c), win.dtype),
         ],
+        # The VMEM scratch carries row i's contribution into row i+1, so
+        # grid steps MUST run sequentially.  'arbitrary' is today's TPU
+        # default, but state it explicitly so a future edit (or a megacore
+        # target) can't silently parallelize the grid and corrupt the
+        # carry (ADVICE r3).
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)
+        ),
         interpret=interpret,
     )(gt, wt)
     return jnp.transpose(out_t, (2, 0, 1, 3))
