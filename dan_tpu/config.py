@@ -130,6 +130,13 @@ class ModelConfig:
     # (GSPMD cannot partition the custom call directly — train/loop.py
     # make_train_step + models/vgg.py conv1_block_packed).
     phase_pool_pallas_bwd: bool = True
+    # Pallas kernel for the conv1_2' WEIGHT grad (one direct correlation,
+    # no operand reverse — ops/conv12_wgrad_pallas.py; removes XLA:TPU's
+    # 2.49 ms/step `reverse` of the 844 MB cotangent at batch 16).
+    # TPU-backward-only like phase_pool_pallas_bwd; needs (per-shard)
+    # batch % 8 == 0, else the XLA-twin weight grad runs (models/vgg.py
+    # _conv12).
+    conv12_wgrad_pallas: bool = True
     # Fused conv1 Pallas kernels (two versions) were built, measured
     # exact-parity on TPU, found to be net in-graph LOSSES (conv-output
     # relayout tax; unbuildable 3-channel im2col — full autopsy in

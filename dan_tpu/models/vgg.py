@@ -101,6 +101,16 @@ def _phase_pool_pallas_active() -> bool:
     return ppp.INTERPRET
 
 
+def _conv12_wgrad_active() -> bool:
+    """Same gate for the conv1_2' weight-grad kernel
+    (ops/conv12_wgrad_pallas.py)."""
+    if _on_tpu():
+        return True
+    from dan_tpu.ops import conv12_wgrad_pallas as cwp
+
+    return cwp.INTERPRET
+
+
 def vgg_forward(
     params: Dict,
     x: jnp.ndarray,
@@ -122,7 +132,6 @@ def vgg_forward(
     # in-graph (conv-output relayout tax / unbuildable 3-channel im2col) and
     # were pruned in round 3 — full autopsy in BASELINE.md 'Fused conv1',
     # kernels recoverable from git history if Mosaic grows layout awareness.
-    del for_inference  # kept in the signature: eval/train graph marker
     taps: Dict[str, jnp.ndarray] = {}
     for bi, block in enumerate(VGG_BLOCKS):
         if bi == 0 and config.conv1_packed and x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0:
@@ -136,7 +145,23 @@ def vgg_forward(
             mode: object = False
             if config.phase_pool_pallas_bwd and _phase_pool_pallas_active():
                 mode = data_island if data_island is not None else True
-            x = conv1_block_packed(params, x, mode)
+            # conv1_2' weight-grad kernel: same dispatch shape.  None =
+            # plain conv (inference graphs keep their exact jaxpr/HLO and
+            # stay persistent-cache-warm); False = custom VJP with the XLA
+            # twin backward; True/(mesh, axis) = Pallas kernel (islanded
+            # with a psum when the batch axis is sharded).  The kernel
+            # needs per-shard batch % 8 == 0 (sublane blocks).
+            wgrad_mode: object = None
+            if not for_inference:
+                wgrad_mode = False
+                if config.conv12_wgrad_pallas and _conv12_wgrad_active():
+                    if data_island is not None:
+                        mesh, _ = data_island
+                        if (x.shape[0] // mesh.devices.size) % 8 == 0:
+                            wgrad_mode = data_island
+                    elif x.shape[0] % 8 == 0:
+                        wgrad_mode = True
+            x = conv1_block_packed(params, x, mode, wgrad_mode)
             continue
         for name, _ in block:
             x = conv2d(params[name], x)
@@ -340,8 +365,91 @@ def _phase_pool_bwd(pallas_bwd, res, g):
 _phase_pool.defvjp(_phase_pool_fwd, _phase_pool_bwd)
 
 
+def _raw_conv12(o1: jnp.ndarray, k2: jnp.ndarray) -> jnp.ndarray:
+    """The packed conv1_2': SAME-padded 2x2 conv on the phase grid."""
+    return jax.lax.conv_general_dilated(
+        o1, k2, (1, 1), ((1, 1), (1, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def _conv12(o1_pre: jnp.ndarray, k2: jnp.ndarray, wgrad_mode=False) -> jnp.ndarray:
+    """relu -> conv1_2', with an OWNED weight gradient.
+
+    Backward note (r2/r3/r4 history): XLA:TPU's weight-grad lowering of
+    this conv inserts a standalone `reverse` of the 844 MB cotangent
+    (2.49 ms/step at batch 16) — the batch-contraction conv operand-swaps
+    the correlation, which needs one reversed operand.  r2's custom-VJP
+    *conv reformulations* (pre-flipped-kernel dgrad; CHWN/IHWO wgrad)
+    could not remove it (identical step time), and r4 probes showed a
+    pre-reversed cotangent merely moves the reverse to the dgrad (the two
+    consumers want opposite orientations).  The r4 fix: OWN the wgrad in
+    a Pallas kernel that reads both operands in natural order
+    (ops/conv12_wgrad_pallas.py) — no reverse exists anywhere.  The input
+    grad stays on XLA's own lowering (jax.vjp), which consumes the
+    cotangent directly with no reverse.
+
+    The boundary includes conv1_1''s relu so the kernel can take the
+    PRE-relu conv output (materialized in the train graph anyway — a pure
+    bitcast operand) and apply relu on the VPU: a post-relu operand made
+    XLA materialize an 838 MB relu copy for the custom call (+2.54
+    ms/step measured; allow_input_fusion did not elide it).
+
+    wgrad_mode: False = XLA-twin weight grad (jax.vjp — identical math to
+    autodiff); True = Pallas kernel; (Mesh, axis) = Pallas kernel inside a
+    shard_map island over the sharded batch axis with a psum (the wgrad
+    contracts over batch).
+    """
+    return _raw_conv12(jax.nn.relu(o1_pre), k2)
+
+
+def _conv12_fwd(o1_pre, k2, wgrad_mode=False):
+    return _raw_conv12(jax.nn.relu(o1_pre), k2), (o1_pre, k2)
+
+
+def _conv12_bwd(wgrad_mode, res, dr):
+    o1_pre, k2 = res
+    # Input grad (and the relu mask) on XLA's own lowering — identical
+    # composition to autodiff, no reverse on this side.
+    _, dgrad_fn = jax.vjp(lambda a: _raw_conv12(jax.nn.relu(a), k2), o1_pre)
+    do1_pre = dgrad_fn(dr)[0]
+    if wgrad_mode:
+        from dan_tpu.ops.conv12_wgrad_pallas import conv12_wgrad_pallas
+
+        if isinstance(wgrad_mode, tuple):
+            from jax.sharding import PartitionSpec as P
+
+            mesh, axis = wgrad_mode
+
+            def _wg(a, d):
+                return jax.lax.psum(
+                    conv12_wgrad_pallas(a, d, relu_input=True), axis
+                )
+
+            dk2 = jax.shard_map(
+                _wg,
+                mesh=mesh,
+                in_specs=(P(axis), P(axis)),
+                out_specs=P(),
+                check_vma=False,
+            )(o1_pre, dr)
+        else:
+            dk2 = conv12_wgrad_pallas(o1_pre, dr, relu_input=True)
+        dk2 = dk2.astype(k2.dtype)
+    else:
+        _, wgrad_fn = jax.vjp(
+            lambda k: _raw_conv12(jax.nn.relu(o1_pre), k), k2
+        )
+        dk2 = wgrad_fn(dr)[0]
+    return do1_pre, dk2
+
+
+_conv12.defvjp(_conv12_fwd, _conv12_bwd)
+
+
 def conv1_block_packed(
-    params: Dict, x: jnp.ndarray, pallas_bwd=False
+    params: Dict, x: jnp.ndarray, pallas_bwd=False, wgrad_mode=None
 ) -> jnp.ndarray:
     """relu(conv1_1) -> relu(conv1_2) -> maxpool2x2/2, phase-packed.
 
@@ -351,29 +459,26 @@ def conv1_block_packed(
     pallas_bwd: False = XLA backward assembly; True = Pallas kernel;
     (Mesh, axis) = Pallas kernel inside a shard_map island over the
     sharded batch axis (see _phase_pool_bwd).
+    wgrad_mode: None = plain conv1_2' (inference graphs — exact jaxpr
+    stability); otherwise forwarded to _conv12 (owned weight grad).
     """
     dt = x.dtype
 
     k1 = _pack_conv_kernel_stride2(params["conv1_1"]["kernel"]).astype(dt)
     b1 = jnp.tile(params["conv1_1"]["bias"], 4).astype(dt)
-    o1 = jax.lax.conv_general_dilated(
-        x, k1, (2, 2), ((1, 2), (1, 2)),
-        dimension_numbers=("NHWC", "HWIO", "NHWC"),
-    )
-    o1 = jax.nn.relu(o1 + b1)  # (B, H/2, W/2, 256): conv1_1 phases
+    o1_pre = (
+        jax.lax.conv_general_dilated(
+            x, k1, (2, 2), ((1, 2), (1, 2)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        + b1
+    )  # (B, H/2, W/2, 256): conv1_1 phases, pre-relu
 
     k2 = _pack_conv_kernel_2x2_phase(params["conv1_2"]["kernel"]).astype(dt)
     b2 = params["conv1_2"]["bias"].astype(dt)
     # (B, H/2+1, W/2+1, 256): phase (py, px) valid at offset (py, px).
-    # Backward note: the 2.5 ms/step HBM `reverse` of this conv's 321^2
-    # cotangent is XLA:TPU's WEIGHT-grad idiom (the batch-contraction
-    # conv operand-swaps the correlation, which requires one reversed
-    # operand) — custom-VJP reformulations of both the input grad
-    # (pre-flipped kernel, plain VALID conv) and the weight grad
-    # (explicit CHWN/IHWO conv) were measured at identical step time
-    # (129.88 ms, batch 16), so autodiff keeps the default formulation.
-    r = jax.lax.conv_general_dilated(
-        o1, k2, (1, 1), ((1, 1), (1, 1)),
-        dimension_numbers=("NHWC", "HWIO", "NHWC"),
-    )
+    if wgrad_mode is None:
+        r = _raw_conv12(jax.nn.relu(o1_pre), k2)
+    else:
+        r = _conv12(o1_pre, k2, wgrad_mode)
     return _phase_pool(r, b2, pallas_bwd)
