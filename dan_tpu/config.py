@@ -197,6 +197,10 @@ class PostprocessConfig:
     """Score filter + NMS -> detection dict [B]."""
 
     score_threshold: float = 0.05  # [K ~0.01-0.05; verify]
+    # [K] reference constant.  Perf note (r4 sweep, BASELINE.md): K gates
+    # only the NMS input width — b128 detect measures 451.8 (5000) /
+    # 459.2 (2048) / 462.0 (1024) img/s/chip, so a deployment that
+    # validates AP at a lower K on the real ckpt picks up ~2% free.
     pre_nms_topk: int = 5000
     nms_iou_threshold: float = 0.3  # [K ~0.3-0.45; verify]
     max_detections: int = 750
