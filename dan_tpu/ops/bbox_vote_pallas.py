@@ -269,9 +269,14 @@ def bbox_vote_pallas_batched(
     bsz, n = scores.shape
     n_pad = -(-max(n, _LANE) // _LANE) * _LANE
     m_pad = -(-max(max_out, _LANE) // _LANE) * _LANE
-    # VMEM cap: 7 (Bc, N) + 6 (Bc, M) f32/i32 slabs must stay under the
-    # scoped-VMEM budget; chunk the batch into sequential grid steps.
-    row_bytes = 4 * (7 * n_pad + 6 * m_pad)
+    # VMEM cap: Mosaic DOUBLE-BUFFERS the in/out pipeline windows across
+    # grid steps, so the scoped budget per batch-slab row is
+    # 2*(6 input + 6 output slabs) + the single-buffered scratch.  The
+    # original single-buffered estimate OOM'd scoped VMEM (17.8 MB > 16)
+    # at vote_batch=128 with N=6016 — caught by the r4 dataset-scale TTA
+    # sweep; fixture-scale tests (vote_batch <= 32, one grid step) never
+    # tripped it.
+    row_bytes = 4 * (2 * (6 * n_pad + 6 * m_pad) + n_pad)
     budget_rows = (12 << 20) // row_bytes // _SUB * _SUB
     if budget_rows < _SUB:
         raise ValueError(

@@ -33,6 +33,46 @@ class TestKernel:
         got = np.asarray(conv12_wgrad_pallas(o1, dr, interpret=True))
         np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-4)
 
+    def test_bf16_inputs_f32_accumulate(self, rng):
+        """Production dtype: bf16 operands, f32 accumulation — matches the
+        f64 oracle within bf16 input rounding."""
+        b, h, w, c = 8, 6, 6, 128
+        o1 = jnp.asarray(rng.normal(size=(b, h, w, c)), jnp.bfloat16)
+        dr = jnp.asarray(rng.normal(size=(b, h + 1, w + 1, c)), jnp.bfloat16)
+        want = np.einsum(
+            "byxi,byxo->yxio",
+            np.pad(
+                np.asarray(o1, np.float64), ((0, 0), (1, 1), (1, 1), (0, 0))
+            )[:, : h + 1 + 1, : w + 1 + 1][:, :, :, :],
+            np.asarray(dr, np.float64),
+            optimize=True,
+        ) if False else None
+        # f64 oracle via explicit taps (einsum over shifted windows).
+        o1p = np.pad(np.asarray(o1, np.float64), ((0, 0), (1, 1), (1, 1), (0, 0)))
+        drn = np.asarray(dr, np.float64)
+        want = np.zeros((2, 2, c, c))
+        for kh in range(2):
+            for kw in range(2):
+                want[kh, kw] = np.einsum(
+                    "byxi,byxo->io",
+                    o1p[:, kh : kh + h + 1, kw : kw + w + 1],
+                    drn,
+                    optimize=True,
+                )
+        got = np.asarray(
+            conv12_wgrad_pallas(o1, dr, interpret=True), np.float64
+        )
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-4)
+
+    def test_relu_input_mode(self, rng):
+        """relu_input=True == relu applied before the kernel."""
+        b, h, w, c = 8, 5, 7, 128
+        o1_pre = jnp.asarray(rng.normal(size=(b, h, w, c)), jnp.float32)
+        dr = jnp.asarray(rng.normal(size=(b, h + 1, w + 1, c)), jnp.float32)
+        want = conv12_wgrad_pallas(jax.nn.relu(o1_pre), dr, interpret=True)
+        got = conv12_wgrad_pallas(o1_pre, dr, interpret=True, relu_input=True)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
     def test_rejects_unaligned_batch(self, rng):
         o1 = jnp.zeros((3, 4, 4, 128), jnp.float32)
         dr = jnp.zeros((3, 5, 5, 128), jnp.float32)
