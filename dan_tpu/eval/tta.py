@@ -191,13 +191,17 @@ class TTARunner:
         params,
         config: Optional[DANConfig] = None,
         pallas_interpret: bool = False,
+        pixel_budget: Optional[int] = None,
     ):
         """pallas_interpret=True forces every Pallas kernel (batched NMS,
         batched vote) in interpret mode regardless of backend — CPU-mesh
-        coverage of the exact multi-chip eval configuration."""
+        coverage of the exact multi-chip eval configuration.
+        pixel_budget: per-device activation-pixel cap for one bucket
+        launch (default DEFAULT_PIXEL_BUDGET — sized for a 16 GB v5e)."""
         self.config = config or DANConfig()
         self.params = params
         self._pallas_interpret = pallas_interpret
+        self.pixel_budget = pixel_budget
         self._bucket_fns: Dict[int, callable] = {}
         self._vote_fns: Dict[Optional[int], callable] = {}
 
@@ -328,13 +332,13 @@ class TTARunner:
         if not pairs:
             return 0
         n_dev = len(mesh.devices.flat) if mesh is not None else 1
-        chunk = max(n_dev * batch_per_device, 1)
         # Build the jit wrappers serially (cheap, and keeps the fn-cache
         # dict single-writer); only the calls below compile.
         fns = {b: self._get_bucket_fn(b, mesh) for b, _ in pairs}
 
         def warm(pair):
             bucket, canvas_size = pair
+            chunk = self.bucket_chunk(bucket, n_dev, batch_per_device)
             fns[bucket](
                 self.params,
                 jnp.zeros((chunk, canvas_size, canvas_size, 3), jnp.uint8),
@@ -365,6 +369,26 @@ class TTARunner:
             for f in futs:
                 f.result()
         return len(pairs) + 1
+
+    # Per-DEVICE activation-pixel budget for one bucket launch.  Network
+    # activations/anchors scale ~linearly with bucket² x local batch, and
+    # the measured ceiling on a 16 GB v5e is between 2048²x8 (fits) and
+    # 2048²x16 (compile OOM: 16.02 GB > 15.75 — caught by the r4
+    # dataset-scale sweep; the 20-image fixture never planned a 2048
+    # bucket, so fixture-scale runs could not trip it).  32M px/device
+    # = 2048²x8 = 640²x80.
+    DEFAULT_PIXEL_BUDGET = 32 << 20
+
+    def bucket_chunk(
+        self, bucket: int, n_dev: int, batch_per_device: int
+    ) -> int:
+        """(image, variant) units per launch for this resolution bucket:
+        n_dev * batch_per_device, capped so per-device activation pixels
+        (bucket² x local batch) stay under the HBM budget.  ONE rule
+        shared by warmup and run_dataset (they must agree on shapes)."""
+        budget = getattr(self, "pixel_budget", None) or self.DEFAULT_PIXEL_BUDGET
+        cap_per_dev = max(1, budget // (bucket * bucket))
+        return n_dev * max(1, min(batch_per_device, cap_per_dev))
 
     def vote_rows(self) -> int:
         """Fixed per-image row count for the batched vote stage:
@@ -544,7 +568,6 @@ class TTARunner:
         n_chips * batch_per_device and sharded over the ('data',) mesh.
         """
         n_dev = len(mesh.devices.flat) if mesh is not None else 1
-        chunk = max(n_dev * batch_per_device, 1)
 
         # unit: (key, variant, h, w, device-resident canvas).
         # Each image's canvas is device_put ONCE (async) and shared by all
@@ -564,6 +587,9 @@ class TTARunner:
             if not units:
                 return
             fn = self._get_bucket_fn(bucket, mesh)
+            # Large buckets take smaller launches (HBM pixel budget) —
+            # same rule as warmup.
+            chunk = self.bucket_chunk(bucket, n_dev, batch_per_device)
             for start in range(0, len(units), chunk):
                 part = units[start : start + chunk]
                 n = len(part)
@@ -612,7 +638,9 @@ class TTARunner:
             for v, bucket, _ in plan:
                 gk = (bucket, canvas_size)
                 groups.setdefault(gk, []).append((key, v, h, w, canvas_dev))
-                if len(groups[gk]) >= chunk:
+                if len(groups[gk]) >= self.bucket_chunk(
+                    bucket, n_dev, batch_per_device
+                ):
                     flush(gk)
             n_images += 1
             if progress_every and n_images % progress_every == 0:

@@ -15,10 +15,10 @@ as a direct correlation, reading BOTH operands in natural order.
     dW[kh,kw,gi,go] = sum_{b,y,x} o1p[b, y-1+kh, x-1+kw, gi] * dr[b,y,x,go]
 
 Formulation: grid (H+1, B/bblk); step (y, p) contracts cotangent row y of
-batch-block p against o1 rows y-1 (kh=0) and y (kh=1), as four
-(W+1)*bblk-deep MXU matmuls (one per (kh,kw) tap; the x shift is a static
-slice of the zero-extended row), accumulated into a (C, 4C) f32 VMEM
-scratch and emitted once at the last step.  Spatial padding is handled
+batch-block p against o1 rows y-1 (kh=0) and y (kh=1), as ONE wide
+(W+1)*bblk-deep MXU matmul (the four (kh,kw) taps stacked on the lane
+axis; each x shift is a zero-column concat), accumulated into a (4C, C)
+f32 VMEM scratch and emitted once at the last step.  Spatial padding is handled
 in-kernel (zero columns; row-validity predicates), so the padded o1 is
 never materialized.  Like the phase-pool kernel, it runs on
 (H, W, B, C)-transposed views — bitcasts of the train graph's
@@ -64,6 +64,7 @@ def _kernel(
 
     zc = jnp.zeros((1, 1, bblk, ci), o1_cur_ref.dtype)
     taps = [(0, o1_prev_ref, y >= 1), (1, o1_cur_ref, y <= h - 1)]
+    shifted = []
     for kh, ref, row_ok in taps:
         row = ref[...]  # (1, W, bblk, CI) = o1 row y-1+kh (garbage when !ok)
         if relu:
@@ -74,19 +75,20 @@ def _kernel(
             # custom call (+2.54 ms/step measured; allow_input_fusion did
             # not elide it).
             row = jnp.maximum(row, jnp.zeros_like(row))
-        row322 = jnp.concatenate([zc, row, zc], axis=1)  # x-padding
-        for kw in range(2):
-            a = row322[:, kw : kw + w1]  # o1p[.., x-1+kw, ..] for x in [0,W+1)
-            a = jnp.where(row_ok, a, jnp.zeros_like(a))
-            a2 = a.reshape(w1 * bblk, ci)  # (K, C_gi)
-            part = jax.lax.dot_general(
-                a2,
-                d,
-                (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )  # (C_gi, C_go)
-            g = kh * 2 + kw
-            acc_ref[:, g * co : (g + 1) * co] += part
+        row = jnp.where(row_ok, row, jnp.zeros_like(row))
+        # o1p[.., x-1+kw, ..] for x in [0, W+1): kw=0 prepends the zero
+        # column, kw=1 appends it.
+        shifted.append(jnp.concatenate([zc, row], axis=1))
+        shifted.append(jnp.concatenate([row, zc], axis=1))
+    # One wide MXU matmul per grid step instead of four: stack the
+    # (kh, kw) taps on the lane axis -> (K, 4*CI) x (K, CO).
+    a_full = jnp.concatenate(shifted, axis=3).reshape(w1 * bblk, 4 * ci)
+    acc_ref[...] += jax.lax.dot_general(
+        a_full,
+        d,
+        (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (4*C_gi, C_go), rows blocked (kh*2+kw)-major
 
     @pl.when((y == h) & (p == nb - 1))
     def _emit():
@@ -130,19 +132,18 @@ def conv12_wgrad_pallas(
         functools.partial(_kernel, h=h, ci=ci, co=co, nb=nb, relu=relu_input),
         grid=(h + 1, nb),
         in_specs=[dr_spec, o1_prev, o1_cur],
-        out_specs=pl.BlockSpec((ci, 4 * co), lambda y, p: (0, 0)),
-        out_shape=jax.ShapeDtypeStruct((ci, 4 * co), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((ci, 4 * co), jnp.float32)],
+        out_specs=pl.BlockSpec((4 * ci, co), lambda y, p: (0, 0)),
+        out_shape=jax.ShapeDtypeStruct((4 * ci, co), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((4 * ci, co), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary"),
-            # Let XLA fuse the o1 producer (bias+relu of the conv1_1'
-            # output, plus the bitcast-transpose) INTO the operand windows:
-            # without this the custom call forces an 838 MB materialized
-            # relu copy (+2.54 ms/step measured, r4) that the old wgrad
-            # conv fusion never paid.
+            # Measured r4: this flag alone did NOT make XLA fuse the relu
+            # producer into the operand windows (the 838 MB relu copy
+            # stayed) — the relu_input mode above is the actual fix; the
+            # flag is kept as a no-cost fusion opportunity for XLA.
             allow_input_fusion=(False, True, True),
         ),
         interpret=interpret,
     )(drt, o1t, o1t)
-    # acc columns are (kh*2+kw)-major: (C_gi, 4*C_go) -> (2, 2, C_gi, C_go).
-    return out.reshape(ci, 4, co).transpose(1, 0, 2).reshape(2, 2, ci, co)
+    # acc rows are (kh*2+kw)-major: (4*C_gi, C_go) -> (2, 2, C_gi, C_go).
+    return out.reshape(2, 2, ci, co)

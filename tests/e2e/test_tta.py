@@ -1,5 +1,23 @@
 """TTA runner e2e smoke: full pyramid+flip+vote path on a tiny config."""
 import numpy as np
+
+
+def test_bucket_chunk_hbm_budget():
+    """Large buckets take smaller launches: per-device activation pixels
+    (bucket^2 x local batch) stay under the HBM budget — 2048^2 x 16
+    compile-OOMs a 16 GB v5e (r4 dataset-scale sweep), so the 2048 bucket
+    must cap at 8/device while small buckets keep the requested batch."""
+    from dan_tpu.config import DANConfig
+    from dan_tpu.eval.tta import TTARunner
+
+    r = TTARunner(params={}, config=DANConfig())
+    assert r.bucket_chunk(2048, 1, 16) == 8
+    assert r.bucket_chunk(2048, 8, 16) == 64  # 8/device x 8 devices
+    assert r.bucket_chunk(1280, 1, 16) == 16  # under budget: unchanged
+    assert r.bucket_chunk(640, 1, 32) == 32
+    assert r.bucket_chunk(2048, 1, 1) == 1  # never raises the request
+    r_small = TTARunner(params={}, config=DANConfig(), pixel_budget=640 * 640)
+    assert r_small.bucket_chunk(640, 1, 8) == 1
 import pytest
 
 import jax
