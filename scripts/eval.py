@@ -41,15 +41,18 @@ def main():
         default=16,
         help="TTA (image, variant) units per chip per launch; >1 amortizes "
         "dispatch latency (one compiled executable per bucket per value). "
-        "Default 16 from the measured r3 sweep (BASELINE.md): at WIDER-val "
-        "scale it cuts launches ~4x vs 4 while per-launch compute stays "
-        "far below the dispatch floor; beyond ~32 launches are bucket-bound",
+        "Measured at dataset scale (r4, 300 WIDER-like images, BASELINE.md): "
+        "4 -> 16 cuts launches 535 -> 148 (+39-73%% img/s); 16 -> 32 is "
+        "bucket-bound (+3-8%%). Large buckets are capped per-launch by the "
+        "HBM pixel budget regardless (TTARunner.bucket_chunk)",
     )
     ap.add_argument(
         "--vote_batch",
         type=int,
-        default=32,
-        help="images per batched bbox-vote launch (padded to a device-count multiple)",
+        default=128,
+        help="images per batched bbox-vote launch (padded to a device-count "
+        "multiple). Default 128 from the r4 dataset-scale sweep: +17-34%% "
+        "img/s vs 32 (fewer launch+fetch round trips on the tunnel)",
     )
     ap.add_argument("--limit", type=int, default=None, help="eval first N images")
     ap.add_argument("--score_only", action="store_true", help="skip inference, read --pred_dir")
