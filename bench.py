@@ -219,9 +219,17 @@ def main():
             )
             os._exit(3)
 
+    def _t(stage):
+        print(
+            f"bench: t+{time.monotonic() - _t_start:.0f}s {stage}",
+            file=sys.stderr,
+        )
+
     threading.Thread(target=_watch, daemon=True).start()
+    _t("device init")
     tpu_devices = [d for d in jax.devices() if d.platform != "cpu"]
     init_done.set()
+    _t("devices ready")
     if tpu_devices:
         device = tpu_devices[0]
     elif os.environ.get("DAN_BENCH_ALLOW_CPU") == "1":
@@ -247,8 +255,10 @@ def main():
         init_detector_params(jax.random.PRNGKey(0), cfg.model), device
     )
     images = jax.device_put(jnp.asarray(images_np), device)
+    _t("params+images device_put queued")
     detect = build_detect_fn(cfg, device)
     ips = measure(detect, params, images, MEASURE_ITERS, BATCH)
+    _t("measured")
     print(f"tpu: {ips:.2f} img/s/chip", file=sys.stderr)
 
     # --- Headline FIRST: nothing after this point can suppress it. ---
