@@ -231,22 +231,26 @@ class Detector:
         self,
         sizes,
         mesh=None,
-        tta_batch: int = 1,
+        tta_batch: Optional[int] = None,
         vote_batch: Optional[int] = None,
         threads: int = 8,
     ) -> int:
         """Pre-compile every TTA executable the given (h, w) image sizes
         will need — the serving-startup analog of warmup() for the TTA
         path, threading through to eval.tta.TTARunner.warmup with the same
-        knobs the eval CLI exposes (--tta_batch / --vote_batch).  Returns
-        the number of executables warmed."""
+        knobs the eval CLI exposes (--tta_batch / --vote_batch; None =
+        TTARunner's measured defaults).  Returns the number of executables
+        warmed."""
         from dan_tpu.eval.tta import TTARunner
 
         runner = self._get_tta_runner()
         return runner.warmup(
             sizes,
             mesh=mesh,
-            batch_per_device=tta_batch,
+            batch_per_device=(
+                tta_batch if tta_batch is not None
+                else TTARunner.DEFAULT_TTA_BATCH
+            ),
             threads=threads,
             vote_batch=(
                 vote_batch if vote_batch is not None
@@ -273,21 +277,25 @@ class Detector:
         self,
         items,
         mesh=None,
-        tta_batch: int = 1,
+        tta_batch: Optional[int] = None,
         vote_batch: Optional[int] = None,
         progress_every: int = 0,
     ) -> Dict[str, Dict[str, np.ndarray]]:
         """Dataset-scale TTA: iterable of (key, image) -> {key: detection
         dict}, batched per resolution bucket and (optionally) sharded over
         a mesh — the API-surface twin of the eval CLI's run_dataset path,
-        with the same tta_batch/vote_batch knobs."""
+        with the same tta_batch/vote_batch knobs (None = TTARunner's
+        measured defaults, currently 16/128)."""
         from dan_tpu.eval.tta import TTARunner
 
         runner = self._get_tta_runner()
         return runner.run_dataset(
             ((k, self._check_image(im)) for k, im in items),
             mesh=mesh,
-            batch_per_device=tta_batch,
+            batch_per_device=(
+                tta_batch if tta_batch is not None
+                else TTARunner.DEFAULT_TTA_BATCH
+            ),
             progress_every=progress_every,
             vote_batch=(
                 vote_batch if vote_batch is not None

@@ -184,7 +184,12 @@ def plan_variant_buckets(h: int, w: int, config: DANConfig):
 class TTARunner:
     """Compiled-per-bucket TTA executor over a fixed parameter set."""
 
-    DEFAULT_VOTE_BATCH = 32  # images per batched vote launch
+    # Measured defaults (r4 dataset-scale sweep, BASELINE.md): tta_batch
+    # 4->16 cuts bucket launches 535->148 (+39-73% img/s; 16->32 is
+    # bucket-bound), vote_batch 128 is +17-34% vs 32.  ONE source of
+    # truth — the eval CLI and the Detector API read these.
+    DEFAULT_VOTE_BATCH = 128  # images per batched vote launch
+    DEFAULT_TTA_BATCH = 16  # (image, variant) units per chip per launch
 
     def __init__(
         self,
@@ -301,7 +306,7 @@ class TTARunner:
         self,
         sizes,
         mesh=None,
-        batch_per_device: int = 1,
+        batch_per_device: int = DEFAULT_TTA_BATCH,
         threads: int = 8,
         vote_batch: int = DEFAULT_VOTE_BATCH,
     ) -> int:
@@ -548,7 +553,7 @@ class TTARunner:
         self,
         items,
         mesh=None,
-        batch_per_device: int = 1,
+        batch_per_device: int = DEFAULT_TTA_BATCH,
         progress_every: int = 0,
         vote_batch: int = DEFAULT_VOTE_BATCH,
     ) -> Dict[str, Dict[str, np.ndarray]]:

@@ -101,11 +101,17 @@ def main():
                 file=sys.stderr,
             )
 
+    # Pre-generate all images OUTSIDE the timed window (host-side synthesis
+    # of ~675 MB on the 1-core host would otherwise deflate every combo's
+    # img/s); the same arrays serve every combo.
     rng = np.random.default_rng(args.seed + 1)
+    images = [
+        (f"im{i:04d}", rng.integers(0, 255, (h, w, 3), dtype=np.uint8))
+        for i, (h, w) in enumerate(sizes)
+    ]
 
     def items():
-        for i, (h, w) in enumerate(sizes):
-            yield f"im{i:04d}", rng.integers(0, 255, (h, w, 3), dtype=np.uint8)
+        return iter(images)
 
     rows = []
     for tb in tta_batches:

@@ -22,6 +22,12 @@ def main():
 
     enable_compilation_cache()
     import jax
+
+    # Imported before backend init (safe: platform selection at line ~64
+    # happens before any device use) so the CLI defaults are literally the
+    # runner's own measured defaults — one source of truth.
+    from dan_tpu.eval.tta import TTARunner
+
     ap = argparse.ArgumentParser()
     ap.add_argument(
         "--platform",
@@ -38,7 +44,7 @@ def main():
     ap.add_argument(
         "--tta_batch",
         type=int,
-        default=16,
+        default=TTARunner.DEFAULT_TTA_BATCH,
         help="TTA (image, variant) units per chip per launch; >1 amortizes "
         "dispatch latency (one compiled executable per bucket per value). "
         "Measured at dataset scale (r4, 300 WIDER-like images, BASELINE.md): "
@@ -49,7 +55,7 @@ def main():
     ap.add_argument(
         "--vote_batch",
         type=int,
-        default=128,
+        default=TTARunner.DEFAULT_VOTE_BATCH,
         help="images per batched bbox-vote launch (padded to a device-count "
         "multiple). Default 128 from the r4 dataset-scale sweep: +17-34%% "
         "img/s vs 32 (fewer launch+fetch round trips on the tunnel)",
@@ -63,7 +69,6 @@ def main():
 
     from dan_tpu.api import Detector
     from dan_tpu.data.widerface import load_image_rgb, load_split
-    from dan_tpu.eval.tta import TTARunner
     from dan_tpu.eval.widerface_ap import evaluate_widerface, load_official_gt
     from dan_tpu.eval.writer import load_detection_dir, write_wider_detections
 

@@ -50,41 +50,25 @@ def run(name, cmd, timeout_s, env=None):
 
 def bench_static_checks():
     """Fast invariants that killed past rounds, checked without a TPU:
-    the CPU-baseline cache must be current (else bench.py's vs_baseline
-    goes null) and bench.py must import cleanly."""
+    bench.py's OWN cache validity check must pass (vs_baseline would go
+    null otherwise).  Uses bench.py's functions directly — a re-implemented
+    copy of the fingerprint recipe could silently drift from the real
+    check."""
     sys.path.insert(0, ROOT)
-    import hashlib
-
+    import bench
     from dan_tpu.config import default_config
 
-    ok = True
-    cache_path = os.path.join(ROOT, "BENCH_CPU_BASELINE.json")
-    fp = hashlib.sha256(repr(default_config()).encode()).hexdigest()[:16]
-    try:
-        cached = json.load(open(cache_path))
-    except Exception as e:
-        print(f"[preflight] bench-static: cannot read {cache_path}: {e} — FAIL")
-        return False
-    if cached.get("config_fp") != fp:
+    cpu_ips, reason = bench.read_cpu_baseline(
+        bench.config_fingerprint(default_config())
+    )
+    if cpu_ips is None:
         print(
-            f"[preflight] bench-static: BENCH_CPU_BASELINE.json config_fp "
-            f"{cached.get('config_fp')!r} stale (current {fp!r}) — "
-            "bench.py will print vs_baseline=null — FAIL"
+            f"[preflight] bench-static: CPU baseline cache unusable "
+            f"({reason}) — bench.py will print vs_baseline=null — FAIL"
         )
-        ok = False
-    if cached.get("batch") != 128:
-        print("[preflight] bench-static: cache batch != 128 — FAIL")
-        ok = False
-    rc = subprocess.run(
-        [sys.executable, "-c", "import ast; ast.parse(open('bench.py').read())"],
-        cwd=ROOT,
-    ).returncode
-    if rc != 0:
-        print("[preflight] bench-static: bench.py does not parse — FAIL")
-        ok = False
-    if ok:
-        print("[preflight] bench-static: ok")
-    return ok
+        return False
+    print("[preflight] bench-static: ok")
+    return True
 
 
 def main():

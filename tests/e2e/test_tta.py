@@ -1,5 +1,21 @@
 """TTA runner e2e smoke: full pyramid+flip+vote path on a tiny config."""
 import numpy as np
+import pytest
+
+import jax
+
+from dan_tpu.config import (
+    DANConfig,
+    MatchConfig,
+    ModelConfig,
+    PostprocessConfig,
+    PreprocessConfig,
+    TTAConfig,
+)
+
+
+from dan_tpu.eval.tta import TTARunner
+from dan_tpu.models.detector import init_detector_params
 
 
 def test_bucket_chunk_hbm_budget():
@@ -18,20 +34,6 @@ def test_bucket_chunk_hbm_budget():
     assert r.bucket_chunk(2048, 1, 1) == 1  # never raises the request
     r_small = TTARunner(params={}, config=DANConfig(), pixel_budget=640 * 640)
     assert r_small.bucket_chunk(640, 1, 8) == 1
-import pytest
-
-import jax
-
-from dan_tpu.config import (
-    DANConfig,
-    MatchConfig,
-    ModelConfig,
-    PostprocessConfig,
-    PreprocessConfig,
-    TTAConfig,
-)
-from dan_tpu.eval.tta import TTARunner
-from dan_tpu.models.detector import init_detector_params
 
 
 def tiny_config():

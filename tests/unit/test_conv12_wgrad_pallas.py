@@ -39,14 +39,6 @@ class TestKernel:
         b, h, w, c = 8, 6, 6, 128
         o1 = jnp.asarray(rng.normal(size=(b, h, w, c)), jnp.bfloat16)
         dr = jnp.asarray(rng.normal(size=(b, h + 1, w + 1, c)), jnp.bfloat16)
-        want = np.einsum(
-            "byxi,byxo->yxio",
-            np.pad(
-                np.asarray(o1, np.float64), ((0, 0), (1, 1), (1, 1), (0, 0))
-            )[:, : h + 1 + 1, : w + 1 + 1][:, :, :, :],
-            np.asarray(dr, np.float64),
-            optimize=True,
-        ) if False else None
         # f64 oracle via explicit taps (einsum over shifted windows).
         o1p = np.pad(np.asarray(o1, np.float64), ((0, 0), (1, 1), (1, 1), (0, 0)))
         drn = np.asarray(dr, np.float64)
