@@ -31,3 +31,70 @@ def test_cpu_baseline_cache_is_valid_for_bench():
         "re-measure on an idle host with DAN_BENCH_MEASURE_CPU=1 "
         "python bench.py."
     )
+
+
+def test_read_cpu_baseline_never_raises(tmp_path, monkeypatch):
+    """Every malformation returns (None, reason) — read_cpu_baseline runs
+    between the TPU measurement and the headline print, so a raise here
+    would suppress the round's one piece of driver-visible evidence."""
+    import json
+
+    cache = tmp_path / "cache.json"
+    monkeypatch.setattr(bench, "CPU_BASELINE_CACHE", str(cache))
+
+    def check():
+        ips, reason = bench.read_cpu_baseline("feedfacefeedface")
+        assert ips is None and isinstance(reason, str) and reason
+        return reason
+
+    assert "missing" in check()  # no file
+    cache.write_bytes(b"\x80not json")
+    assert "unreadable" in check()
+    cache.write_text("[1, 2, 3]")
+    assert "not a JSON object" in check()
+    cache.write_text(json.dumps({"batch": 64, "config_fp": "feedfacefeedface"}))
+    assert "batch" in check()  # batch mismatch (bench default is 128)
+    cache.write_text(
+        json.dumps(
+            {"batch": bench.BATCH, "config_fp": "0000000000000000",
+             "images_per_sec": 1.0}
+        )
+    )
+    assert "stale" in check()  # fingerprint mismatch
+    for bad_ips in (None, 0, -1.0, "fast"):
+        cache.write_text(
+            json.dumps(
+                {"batch": bench.BATCH, "config_fp": "feedfacefeedface",
+                 "images_per_sec": bad_ips}
+            )
+        )
+        assert "images_per_sec" in check()
+    # And the happy path still returns the value.
+    cache.write_text(
+        json.dumps(
+            {"batch": bench.BATCH, "config_fp": "feedfacefeedface",
+             "images_per_sec": 0.178}
+        )
+    )
+    ips, reason = bench.read_cpu_baseline("feedfacefeedface")
+    assert ips == 0.178 and reason is None
+
+
+def test_importing_bench_has_no_side_threads():
+    """Preflight and this test import bench as a module; the wall-clock
+    watchdog (os._exit(4) after DEADLINE_S) must only arm inside main()."""
+    import ast
+
+    assert callable(bench._arm_deadline_watchdog)
+    tree = ast.parse(open(os.path.join(ROOT, "bench.py")).read())
+    module_level_calls = [
+        node.value.func.id
+        for node in tree.body
+        if isinstance(node, ast.Expr)
+        and isinstance(node.value, ast.Call)
+        and isinstance(node.value.func, ast.Name)
+    ]
+    assert "_arm_deadline_watchdog" not in module_level_calls, (
+        "watchdog must not arm at import time — preflight/pytest import "
+        "bench and would inherit a kill timer"
+    )
