@@ -57,13 +57,15 @@ from jax.experimental.pallas import tpu as pltpu
 INTERPRET = False
 
 
-def _kernel(g_cur, w_cur, out, g_scr, w_scr, *, h: int, c: int):
-    """One output row y = program_id(0) of the (H+1, W+1, B, 4C) cotangent.
+def _kernel(g_cur, w_cur, out, g_scr, w_scr, *, h: int, c: int, row_axis: int):
+    """One output row y = program_id(row_axis) of the (H+1, W+1, B, 4C)
+    cotangent (row_axis is the LAST grid dim; a batch-block dim may
+    precede it — see the wrapper).
 
     g_cur/w_cur hold input row min(y, H-1) (invalid at y=H); the py=1
     groups read row y-1 from the scratch carry (invalid at y=0).
     """
-    i = pl.program_id(0)
+    i = pl.program_id(row_axis)
     g_c = g_cur[...]
     w_c = w_cur[...]
     halves = []
@@ -109,16 +111,41 @@ def phase_pool_bwd_pallas(
     gt = jnp.transpose(g, (1, 2, 0, 3))  # (H, W, B, C) — bitcast, see above
     wt = jnp.transpose(win, (1, 2, 0, 3))
 
-    in_row = pl.BlockSpec((1, w, b, c), lambda i: (jnp.minimum(i, h - 1), 0, 0, 0))
+    # Blocks are (1, W, bblk, C): VMEM scales with the batch block, and
+    # the full batch fits only up to 16 (at b=32 the compile OOM'd scoped
+    # VMEM: 21.28M > 16M — caught by the r4 b32 train probe).  b <= 16
+    # keeps the original single-block 1-D grid (the measured b16 path,
+    # bit-identical HLO); larger batches run a (nb, H+1) grid with batch
+    # OUTERMOST, so for each block the row sweep is still sequential and
+    # the scratch carry stays correct (at each block's y=0 the carry slot
+    # holds the previous block's last row, masked by the same row_ok
+    # predicate that masks the uninitialized first step).
+    if b <= 16:
+        bblk = b
+    else:
+        bblk = max(k for k in range(1, 17) if b % k == 0)
+    nb = b // bblk
+    if nb == 1:
+        grid: tuple = (h + 1,)
+        row_axis = 0
+        idx = lambda i: (jnp.minimum(i, h - 1), 0, 0, 0)  # noqa: E731
+        out_idx = lambda i: (i, 0, 0, 0)  # noqa: E731
+    else:
+        grid = (nb, h + 1)
+        row_axis = 1
+        idx = lambda p, i: (jnp.minimum(i, h - 1), 0, p, 0)  # noqa: E731
+        out_idx = lambda p, i: (i, 0, p, 0)  # noqa: E731
+
+    in_row = pl.BlockSpec((1, w, bblk, c), idx)
     out_t = pl.pallas_call(
-        functools.partial(_kernel, h=h, c=c),
-        grid=(h + 1,),
+        functools.partial(_kernel, h=h, c=c, row_axis=row_axis),
+        grid=grid,
         in_specs=[in_row, in_row],
-        out_specs=pl.BlockSpec((1, w + 1, b, 4 * c), lambda i: (i, 0, 0, 0)),
+        out_specs=pl.BlockSpec((1, w + 1, bblk, 4 * c), out_idx),
         out_shape=jax.ShapeDtypeStruct((h + 1, w + 1, b, 4 * c), g.dtype),
         scratch_shapes=[
-            pltpu.VMEM((1, w, b, c), g.dtype),
-            pltpu.VMEM((1, w, b, c), win.dtype),
+            pltpu.VMEM((1, w, bblk, c), g.dtype),
+            pltpu.VMEM((1, w, bblk, c), win.dtype),
         ],
         # The VMEM scratch carries row i's contribution into row i+1, so
         # grid steps MUST run sequentially.  'arbitrary' is today's TPU
@@ -126,7 +153,7 @@ def phase_pool_bwd_pallas(
         # target) can't silently parallelize the grid and corrupt the
         # carry (ADVICE r3).
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary",)
+            dimension_semantics=("arbitrary",) * len(grid)
         ),
         interpret=interpret,
     )(gt, wt)

@@ -36,6 +36,29 @@ def test_kernel_matches_xla_assembly(dtype, b, h, w, c):
     np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
 
 
+@pytest.mark.parametrize(
+    "b,bblk",
+    [
+        (32, 16),  # the b32 train shape that compile-OOM'd the 1-D grid
+        (24, 12),  # largest divisor <= 16 wins even when not 8-aligned
+        (17, 1),  # prime: worst-case block (still correct, 17 blocks)
+    ],
+)
+def test_kernel_batch_blocked_path(b, bblk):
+    """b > 16 takes the (nb, H+1) grid with batch outermost; the scratch
+    row-carry must stay correct across the per-block row sweeps (at each
+    block's y=0 the slot holds the PREVIOUS block's last row — masked)."""
+    import dan_tpu.ops.phase_pool_pallas as mod
+
+    assert b > 16 and max(
+        k for k in range(1, 17) if b % k == 0
+    ) == bblk  # pin the block-size rule this test exercises
+    g, win = _random_case(jax.random.PRNGKey(7), b, 6, 5, 8, jnp.bfloat16)
+    want = _phase_pool_bwd_xla(win, g)
+    got = mod.phase_pool_bwd_pallas(g, win, interpret=True)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
 def test_all_clamped_winner_gives_zero_cotangent():
     g = jnp.ones((2, 4, 4, 8), jnp.float32)
     win = jnp.full((2, 4, 4, 8), 255, jnp.uint8)
