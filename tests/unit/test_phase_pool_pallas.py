@@ -92,6 +92,30 @@ def test_island_assembly_bit_parity_on_mesh(monkeypatch):
     np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
 
 
+def test_island_assembly_blocked_batch_on_mesh(monkeypatch):
+    """Per-shard batch > 16 under shard_map: each shard independently takes
+    the batch-blocked (nb, H+1) grid — the single-chip b32 configuration
+    scaled out (global b = 8 chips x 24/shard here)."""
+    from jax.sharding import PartitionSpec as P
+
+    from dan_tpu.parallel.mesh import make_mesh
+
+    monkeypatch.setattr(ppp, "INTERPRET", True)
+    mesh = make_mesh()
+    n = mesh.devices.size
+    g, win = _random_case(jax.random.PRNGKey(5), n * 24, 5, 4, 8, jnp.bfloat16)
+    want = _phase_pool_bwd_xla(win, g)
+    axis = mesh.axis_names[0]
+    got = jax.shard_map(
+        phase_pool_bwd_pallas,
+        mesh=mesh,
+        in_specs=(P(axis), P(axis)),
+        out_specs=P(axis),
+        check_vma=False,
+    )(g, win)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
 def test_island_grad_close_on_mesh(monkeypatch):
     """End-to-end jax.grad through the packed conv1 block with the island
     backward: the custom-VJP + shard_map plumbing must produce the XLA
