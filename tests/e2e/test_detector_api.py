@@ -122,6 +122,16 @@ class TestDetectorAPI:
         out = detector.detect(img)
         assert out["bboxes"].shape[1] == 4
 
+    @pytest.mark.parametrize("h,w", [(1, 1), (2, 120), (120, 2)])
+    def test_degenerate_image_geometry(self, detector, rng, h, w):
+        """1-pixel and extreme-aspect images detect without crashes or
+        non-finite outputs (the squash resize + bucket rules see sizes far
+        outside the dataset distribution)."""
+        img = rng.integers(0, 255, (h, w, 3), dtype=np.uint8)
+        out = detector.detect(img)
+        assert np.isfinite(out["bboxes"]).all()
+        assert np.isfinite(out["scores"]).all()
+
     def test_score_threshold_filters(self, detector, rng):
         img = rng.integers(0, 255, (64, 64, 3), dtype=np.uint8)
         full = detector.detect(img)

@@ -77,6 +77,26 @@ class TestTTA:
         b = runner.detect_tta(img)
         np.testing.assert_array_equal(a["bboxes"], b["bboxes"])
 
+    @pytest.mark.parametrize("h,w", [(1, 1), (2, 100), (100, 2), (1, 200)])
+    def test_degenerate_image_geometry(self, runner, rng, h, w):
+        """Extreme aspect ratios and 1-pixel images must plan, run, and
+        return an in-frame detection dict (no NaNs, no crashes) — the
+        planner's cap/shrink rules and the on-device resample both see
+        sizes far outside the WIDER distribution here."""
+        from dan_tpu.eval.tta import plan_variant_buckets
+
+        plan = list(plan_variant_buckets(h, w, runner.config))
+        assert plan, "every image plans at least the det0 variant"
+        for v, bucket, canvas in plan:
+            assert bucket in runner.config.tta.buckets
+            assert canvas >= max(h, w)
+            assert np.isfinite(v.scale) and v.scale > 0
+        img = rng.integers(0, 255, (h, w, 3), dtype=np.uint8)
+        out = runner.detect_tta(img)
+        assert set(out) == {"bboxes", "scores"}
+        assert np.isfinite(out["bboxes"]).all()
+        assert np.isfinite(out["scores"]).all()
+
     def test_run_dataset_matches_per_image(self, runner, rng):
         """Sharded dataset runner == serial per-image TTA (config 5)."""
         from dan_tpu.parallel.mesh import make_mesh
