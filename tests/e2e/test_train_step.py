@@ -70,6 +70,22 @@ class TestTrainStep:
         for k in ("loss", "cls_loss", "loc_loss", "grad_norm"):
             assert np.isfinite(float(metrics[k])), k
 
+    def test_all_padding_batch_finite(self, setup):
+        """A batch with ZERO valid gt (every mask lane false) must produce
+        a finite loss and finite param updates — the num_pos=0 path (HNM
+        falls back to hnm_min_negatives; total_pos clamps to 1)."""
+        cfg, mesh, mk_state, step = setup
+        state = mk_state()
+        batch = synthetic_batch(cfg, cfg.train.batch_size, seed=5)
+        batch["mask"][:] = False
+        batch["boxes"][:] = 0.0
+        batch = shard_batch(batch, mesh)
+        state, metrics = step(state, batch)
+        assert np.isfinite(float(metrics["loss"]))
+        assert float(metrics["num_pos"]) == 0.0
+        leaves = jax.tree_util.tree_leaves(state.params)
+        assert all(np.isfinite(np.asarray(l)).all() for l in leaves)
+
 
 class TestDPEquivalence:
     def test_1dev_vs_8dev_identical(self):
