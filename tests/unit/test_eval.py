@@ -132,6 +132,19 @@ class TestWriter:
         np.testing.assert_allclose(back[:, :4], boxes, atol=0.051)
         np.testing.assert_allclose(back[:, 4], scores, atol=1e-6)
 
+    def test_roundtrip_zero_detections(self, tmp_path):
+        """An image with no surviving detections writes a valid 0-count
+        file and reads back as an empty (0, 5) array (the official format
+        keeps the header lines; a missing file would crash the scorer)."""
+        p = write_wider_detections(
+            str(tmp_path),
+            "0--Parade/0_Parade_img_2.jpg",
+            np.zeros((0, 4)),
+            np.zeros((0,)),
+        )
+        back = read_wider_detections(p)
+        assert back.shape == (0, 5)
+
 
 class TestTTAPlan:
     CFG = DANConfig(tta=TTAConfig())
