@@ -217,27 +217,29 @@ def _put_or_stop(q, item, stop) -> bool:
     return False
 
 
-def device_prefetch(host_batches, mesh, depth: int = 2):
-    """Overlap host batch production + H2D transfer with device compute.
+def iter_prefetch(items, depth: int = 2, transform=None):
+    """Run an iterator (plus an optional per-item `transform`) on a
+    background thread, staying `depth` items ahead of the consumer.
 
-    Wraps an iterator of host batches into an iterator of device-resident
-    sharded batches, transferring `depth` batches ahead on a background
-    thread (the reference's tf.data prefetch-to-device equivalent).
-    Worker exceptions propagate to the consumer (they must not read as a
-    clean end-of-stream).
+    The generic overlap primitive behind device_prefetch, also used by the
+    eval CLI to overlap host JPEG decode with device TTA work (decode
+    releases the GIL, and the consumer's blocking device fetches leave the
+    core idle otherwise).  Worker exceptions propagate to the consumer
+    (they must not read as a clean end-of-stream); closing the consumer
+    unblocks and stops the worker.
     """
-    from dan_tpu.parallel.mesh import shard_batch
-
     q: "queue.Queue" = queue.Queue(maxsize=depth)
     stop = threading.Event()
     _END = object()
 
     def worker():
         try:
-            for hb in host_batches:
+            for it in items:
                 if stop.is_set():
                     return
-                if not _put_or_stop(q, shard_batch(hb, mesh), stop):
+                if transform is not None:
+                    it = transform(it)
+                if not _put_or_stop(q, it, stop):
                     return
             _put_or_stop(q, _END, stop)
         except BaseException as e:  # propagate, don't die silently
@@ -255,6 +257,20 @@ def device_prefetch(host_batches, mesh, depth: int = 2):
             yield item
     finally:
         stop.set()
+
+
+def device_prefetch(host_batches, mesh, depth: int = 2):
+    """Overlap host batch production + H2D transfer with device compute.
+
+    Wraps an iterator of host batches into an iterator of device-resident
+    sharded batches, transferring `depth` batches ahead on a background
+    thread (the reference's tf.data prefetch-to-device equivalent).
+    """
+    from dan_tpu.parallel.mesh import shard_batch
+
+    return iter_prefetch(
+        host_batches, depth=depth, transform=lambda hb: shard_batch(hb, mesh)
+    )
 
 
 class TrainPipeline:

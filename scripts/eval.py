@@ -89,10 +89,18 @@ def main():
         else:
             print("WARNING: random weights", file=sys.stderr)
             det = Detector.from_random()
+        from dan_tpu.data.pipeline import iter_prefetch
+
         t0 = time.time()
         if args.no_tta:
-            for i, rec in enumerate(records):
-                out = det.detect(load_image_rgb(rec.path))
+            # Decode the next images on a background thread while the
+            # device runs the current one (decode releases the GIL; the
+            # detect call blocks on a device fetch).
+            decoded = iter_prefetch(
+                records, depth=4, transform=lambda r: (r, load_image_rgb(r.path))
+            )
+            for i, (rec, img) in enumerate(decoded):
+                out = det.detect(img)
                 stem = os.path.splitext(rec.rel_path)[0]
                 predictions[stem] = np.concatenate(
                     [out["bboxes"], out["scores"][:, None]], axis=-1
@@ -135,9 +143,16 @@ def main():
                 f"{time.time() - t_w:.0f}s",
                 file=sys.stderr,
             )
-            items = (
-                (os.path.splitext(r.rel_path)[0], load_image_rgb(r.path))
-                for r in records
+            # JPEG decode overlapped with run_dataset's device launches
+            # (same background-thread prefetch as the train pipeline's
+            # device_prefetch; run_dataset consumes lazily per image).
+            items = iter_prefetch(
+                records,
+                depth=4,
+                transform=lambda r: (
+                    os.path.splitext(r.rel_path)[0],
+                    load_image_rgb(r.path),
+                ),
             )
             t_run = time.time()
             results = runner.run_dataset(

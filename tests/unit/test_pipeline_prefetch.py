@@ -1,10 +1,56 @@
-"""device_prefetch: ordering, completeness, early-stop cleanliness."""
+"""device_prefetch / iter_prefetch: ordering, completeness, exception
+propagation, early-stop cleanliness."""
 import numpy as np
+import pytest
 
 from dan_tpu.config import DANConfig, MatchConfig, ModelConfig, PreprocessConfig
-from dan_tpu.data.pipeline import device_prefetch
+from dan_tpu.data.pipeline import device_prefetch, iter_prefetch
 from dan_tpu.data.synthetic import synthetic_batch
 from dan_tpu.parallel.mesh import make_mesh
+
+
+class TestIterPrefetch:
+    def test_order_and_transform(self):
+        out = list(iter_prefetch(range(20), depth=3, transform=lambda x: x * x))
+        assert out == [i * i for i in range(20)]
+
+    def test_empty(self):
+        assert list(iter_prefetch(iter(()), depth=2)) == []
+
+    def test_worker_exception_propagates(self):
+        """A decode error must raise in the consumer, never read as a
+        clean end-of-stream (silently truncating an eval dataset)."""
+
+        def bad(x):
+            if x == 3:
+                raise ValueError("decode failed")
+            return x
+
+        it = iter_prefetch(range(10), depth=2, transform=bad)
+        got = []
+        with pytest.raises(ValueError, match="decode failed"):
+            for v in it:
+                got.append(v)
+        assert got == [0, 1, 2]
+
+    def test_early_close_stops_worker(self):
+        produced = []
+
+        def gen():
+            i = 0
+            while True:
+                produced.append(i)
+                yield i
+                i += 1
+
+        it = iter_prefetch(gen(), depth=2)
+        assert next(it) == 0
+        it.close()
+        n = len(produced)
+        import time
+
+        time.sleep(0.1)  # a live worker would keep producing
+        assert len(produced) <= n + 2  # bounded by queue depth, not growing
 
 
 def _cfg():
