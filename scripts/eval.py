@@ -101,12 +101,23 @@ def main():
             )
             for i, (rec, img) in enumerate(decoded):
                 out = det.detect(img)
+                if i == 0:
+                    # Keep the graph compile/cache-load (20-60 s per fresh
+                    # process on the axon tunnel) OUT of the throughput
+                    # clock — with it in, the printed img/s varied 26x
+                    # across identical runs (BASELINE.md r4 prefetch row).
+                    print(
+                        f"first detect (incl. graph load): "
+                        f"{time.time() - t0:.1f}s",
+                        file=sys.stderr,
+                    )
+                    t0 = time.time()
                 stem = os.path.splitext(rec.rel_path)[0]
                 predictions[stem] = np.concatenate(
                     [out["bboxes"], out["scores"][:, None]], axis=-1
                 )
                 if (i + 1) % 50 == 0:
-                    ips = (i + 1) / (time.time() - t0)
+                    ips = i / max(time.time() - t0, 1e-9)
                     print(
                         f"{i + 1}/{len(records)} images ({ips:.2f} img/s)",
                         file=sys.stderr,
@@ -181,7 +192,10 @@ def main():
                 write_wider_detections(
                     args.output_dir, stem_to_rel[stem], p[:, :4], p[:, 4]
                 )
-        ips = len(records) / max(time.time() - t0, 1e-9)
+        # In the --no_tta path t0 restarts after the first detect (graph
+        # load excluded), so that image is not in the numerator either.
+        n_timed = max(len(records) - (1 if args.no_tta else 0), 1)
+        ips = n_timed / max(time.time() - t0, 1e-9)
         print(f"inference: {ips:.2f} img/s over {len(records)}", file=sys.stderr)
 
     # --- AP ---
