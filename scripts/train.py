@@ -73,6 +73,17 @@ def main():
 
     cfg = default_config()
     overrides = {}
+    # The reference recipe (lr 1e-3, no warmup, no clip) assumes an
+    # ImageNet VGG warm-start; from RANDOM init it diverges to nan within
+    # a few steps (config.py::TrainConfig.grad_clip_norm note).  The
+    # --synthetic smoke path is always random-init, so give it the
+    # measured stable recipe by default (same as scripts/smoke_e2e.py);
+    # explicit flags still win.
+    if args.synthetic and not args.warm_start:
+        if args.warmup_steps is None:
+            overrides["warmup_steps"] = 50
+        if args.grad_clip is None:
+            overrides["grad_clip_norm"] = 10.0
     if args.batch_size:
         overrides["batch_size"] = args.batch_size
     if args.lr is not None:
@@ -138,6 +149,23 @@ def main():
                 meter.tick()
                 if (step + 1) % log_every == 0:
                     metrics = {k: float(v) for k, v in metrics.items()}
+                    if not np.isfinite(metrics.get("loss", 0.0)):
+                        # Abort instead of silently training on — and
+                        # CHECKPOINTING — nan params for the rest of the
+                        # run (caught by an r4 TPU soak: 1200 steps of nan
+                        # saves at rc=0).  The state is already poisoned;
+                        # there is nothing to save.
+                        logger.log(step + 1, metrics)
+                        print(
+                            f"FATAL: non-finite loss at step {step + 1} — "
+                            "training diverged.  From random init, pass "
+                            "--warmup_steps 50 --grad_clip 10 (or a lower "
+                            "--lr); the reference recipe assumes "
+                            "--warm_start from a VGG checkpoint.  See "
+                            "TrainConfig.grad_clip_norm in dan_tpu/config.py.",
+                            file=sys.stderr,
+                        )
+                        sys.exit(6)
                     metrics["images_per_sec_per_chip"] = meter.images_per_sec_per_chip
                     logger.log(step + 1, metrics)
                     meter.reset()
