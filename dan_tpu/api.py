@@ -33,6 +33,9 @@ class Detector:
         self.config = config or default_config()
         self.params = params
         self._detect_fns: Dict[int, callable] = {}
+        # int8 PTQ state (dan_tpu/quant.py): when set by quantize_int8(),
+        # detect()/detect_batch()/warmup() run the int8-body graph.
+        self._quant = None
 
     # -- construction --------------------------------------------------------
 
@@ -63,16 +66,25 @@ class Detector:
     def _detect_one_fn(self):
         """The shared per-image detect graph: canvas + true extent ->
         detection dict in original pixels.  jit'd directly for detect(),
-        vmapped for detect_batch() — one definition, no drift."""
+        vmapped for detect_batch() — one definition, no drift.  Runs the
+        int8-body forward when quantize_int8() has been called."""
         cfg = self.config
         size = cfg.model.image_size
         anchors = generate_anchors(cfg.anchors, size, size)
+        quantized = self._quant is not None
 
         def one(params, canvas_u8, src_h, src_w):
             img = eval_preprocess(canvas_u8, src_h, src_w, size, cfg.preprocess)
-            cls_logits, loc_preds = detector_forward(
-                params, img[None], cfg.model, for_inference=True
-            )
+            if quantized:
+                from dan_tpu.quant import quantized_detector_forward
+
+                cls_logits, loc_preds = quantized_detector_forward(
+                    params, img[None], cfg.model
+                )
+            else:
+                cls_logits, loc_preds = detector_forward(
+                    params, img[None], cfg.model, for_inference=True
+                )
             det = postprocess_one(
                 cls_logits[0],
                 loc_preds[0],
@@ -106,6 +118,79 @@ class Detector:
         fn = jax.jit(jax.vmap(self._detect_one_fn(), in_axes=(None, 0, 0, 0)))
         self._detect_fns[key] = fn
         return fn
+
+    @property
+    def _fwd_params(self):
+        """The pytree the compiled detect fns consume: the int8 qparams
+        after quantize_int8(), else the raw f32 params."""
+        return self._quant if self._quant is not None else self.params
+
+    def quantize_int8(self, calib_images, batch_size: int = 8):
+        """Post-training-quantize the detect path to an int8 body
+        (dan_tpu/quant.py): ~1.5x the bf16 conv rate on the v5e MXU.
+
+        calib_images: iterable of (H, W, 3) uint8/float RGB images — a
+        representative sample of the deployment distribution (8-64 images
+        is typical for absmax PTQ).  Each is pushed through the SAME
+        eval-preprocess the detect graph uses, so the collected activation
+        ranges match serving exactly.  Returns the activation scales.
+
+        detect()/detect_batch()/warmup() run the quantized graph from the
+        next call on; the TTA path stays bf16 (accuracy mode).  Call again
+        to re-calibrate; set `det._quant = None` to drop back to bf16.
+        A deployment should re-validate its AP after quantizing
+        (tests validate logits closeness + integer-math exactness; the
+        smoke-e2e script validates synthetic AP on TPU).
+        """
+        import jax as _jax
+
+        from dan_tpu.quant import (
+            calibrate_act_scales,
+            quantize_detector_params,
+        )
+
+        size = self.config.model.image_size
+        dt = jnp.dtype(self.config.model.compute_dtype)
+        imgs = [self._check_image(im) for im in calib_images]
+        if not imgs:
+            raise ValueError("quantize_int8 needs at least one calib image")
+        c = self._canvas_for(
+            max(im.shape[0] for im in imgs), max(im.shape[1] for im in imgs)
+        )
+        prep = _jax.jit(
+            _jax.vmap(
+                lambda cv, h, w: eval_preprocess(
+                    cv, h, w, size, self.config.preprocess
+                )
+            )
+        )
+
+        def batches():
+            for i in range(0, len(imgs), batch_size):
+                chunk = imgs[i : i + batch_size]
+                # Pad short tails by repeating the last image: one fixed
+                # batch shape = one compiled graph (absmax is unaffected
+                # by duplicates).
+                chunk = chunk + [chunk[-1]] * (batch_size - len(chunk))
+                canvases = np.zeros((batch_size, c, c, 3), np.uint8)
+                hs = np.zeros((batch_size,), np.float32)
+                ws = np.zeros((batch_size,), np.float32)
+                for j, im in enumerate(chunk):
+                    h, w = im.shape[:2]
+                    canvases[j, :h, :w] = im
+                    hs[j], ws[j] = h, w
+                yield prep(
+                    jnp.asarray(canvases), jnp.asarray(hs), jnp.asarray(ws)
+                ).astype(dt)
+
+        scales = calibrate_act_scales(
+            self.params, batches(), self.config.model
+        )
+        self._quant = quantize_detector_params(
+            self.params, self.config.model, scales
+        )
+        self._detect_fns.clear()
+        return scales
 
     @staticmethod
     def _check_image(image) -> np.ndarray:
@@ -154,7 +239,7 @@ class Detector:
             canvases[i, :h, :w] = im
             hs[i], ws[i] = h, w
         fn = self._get_detect_batch_fn(nb, c)
-        det = fn(self.params, jnp.asarray(canvases), jnp.asarray(hs), jnp.asarray(ws))
+        det = fn(self._fwd_params, jnp.asarray(canvases), jnp.asarray(hs), jnp.asarray(ws))
         bboxes = np.asarray(det["bboxes"])
         scores = np.asarray(det["scores"])
         valid = np.asarray(det["valid"])
@@ -174,7 +259,7 @@ class Detector:
         for c in buckets or self.config.tta.buckets:
             fn = self._get_detect_fn(c)
             fn(
-                self.params,
+                self._fwd_params,
                 jnp.zeros((c, c, 3), jnp.uint8),
                 jnp.float32(c),
                 jnp.float32(c),
@@ -203,7 +288,7 @@ class Detector:
         canvas[:h, :w] = image
         fn = self._get_detect_fn(c)
         det = fn(
-            self.params,
+            self._fwd_params,
             jnp.asarray(canvas),
             jnp.float32(h),
             jnp.float32(w),

@@ -8,6 +8,11 @@ exercises train step, checkpointing, Detector, NMS, and the AP harness as
 one system.
 
     python scripts/smoke_e2e.py [--steps 300] [--batch 8] [--eval_n 24]
+
+--int8 additionally post-training-quantizes the trained detector
+(Detector.quantize_int8, calibrated on a held-out synthetic sample) and
+evaluates the SAME protocol on the int8 graph — the AP-level validation
+of dan_tpu/quant.py on a trained (if synthetic) checkpoint.
 """
 import argparse
 import os
@@ -33,6 +38,8 @@ def main():
     ap.add_argument("--eval_n", type=int, default=24)
     ap.add_argument("--lr", type=float, default=5e-4)
     ap.add_argument("--platform", default=None)
+    ap.add_argument("--int8", action="store_true",
+                    help="also eval the int8-PTQ graph (AP must track bf16)")
     args = ap.parse_args()
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
@@ -76,24 +83,45 @@ def main():
     # -- eval on held-out synthetic images through the real stack --
     det = Detector(state.params, cfg)
     rng = np.random.default_rng(10_000)
-    preds, gts = {}, {}
+    eval_set, gts = [], {}
     canvas = cfg.preprocess.canvas_size
     for i in range(args.eval_n):
         img, boxes, mask = synthetic_sample(rng, canvas, cfg.match.max_gt)
-        out = det.detect(img, score_threshold=0.05)
-        key = f"synthetic/img_{i}"
-        preds[key] = np.concatenate(
-            [out["bboxes"], out["scores"][:, None]], axis=-1
-        ).astype(np.float64)
-        gts[key] = boxes[mask].astype(np.float64)
-    aps = evaluate_widerface(preds, gts)
-    print(
-        f"synthetic-val AP after {args.steps} steps: "
-        f"easy={aps['easy']:.3f} medium={aps['medium']:.3f} hard={aps['hard']:.3f}"
-    )
+        eval_set.append((f"synthetic/img_{i}", img))
+        gts[f"synthetic/img_{i}"] = boxes[mask].astype(np.float64)
+
+    def run_eval(tag):
+        preds = {}
+        for key, img in eval_set:
+            out = det.detect(img, score_threshold=0.05)
+            preds[key] = np.concatenate(
+                [out["bboxes"], out["scores"][:, None]], axis=-1
+            ).astype(np.float64)
+        aps = evaluate_widerface(preds, gts)
+        print(
+            f"synthetic-val AP after {args.steps} steps [{tag}]: "
+            f"easy={aps['easy']:.3f} medium={aps['medium']:.3f} "
+            f"hard={aps['hard']:.3f}"
+        )
+        return aps
+
+    aps = run_eval("bf16")
     if aps["hard"] < 0.5:
         print("WARNING: low AP — stack may be unhealthy", file=sys.stderr)
         sys.exit(1)
+
+    if args.int8:
+        calib = [
+            synthetic_sample(rng, canvas, cfg.match.max_gt)[0]
+            for _ in range(8)
+        ]
+        det.quantize_int8(calib)
+        aps_q = run_eval("int8")
+        delta = aps_q["hard"] - aps["hard"]
+        print(f"int8 hard-AP delta vs bf16: {delta:+.4f}")
+        if aps_q["hard"] < aps["hard"] - 0.02:
+            print("WARNING: int8 AP dropped > 0.02 vs bf16", file=sys.stderr)
+            sys.exit(1)
 
 
 if __name__ == "__main__":
