@@ -127,7 +127,8 @@ class Detector:
 
     def quantize_int8(self, calib_images, batch_size: int = 8):
         """Post-training-quantize the detect path to an int8 body
-        (dan_tpu/quant.py): ~1.5x the bf16 conv rate on the v5e MXU.
+        (dan_tpu/quant.py): measured 1.49x the bf16 detect throughput at
+        batch 128 on v5e (670.3 vs 451.3 img/s/chip — BASELINE.md r5).
 
         calib_images: iterable of (H, W, 3) uint8/float RGB images — a
         representative sample of the deployment distribution (8-64 images
@@ -136,11 +137,16 @@ class Detector:
         ranges match serving exactly.  Returns the activation scales.
 
         detect()/detect_batch()/warmup() run the quantized graph from the
-        next call on; the TTA path stays bf16 (accuracy mode).  Call again
-        to re-calibrate; set `det._quant = None` to drop back to bf16.
+        next call on; the TTA path stays bf16 (accuracy mode) and
+        detect_tta() warns once if called on a quantized detector.  Call
+        again to re-calibrate; call dequantize() to drop back to bf16.
+        The quantized graphs are NEW executables: any detect fns
+        pre-compiled via warmup() are discarded, so re-run warmup() after
+        quantizing to avoid a first-request compile per canvas bucket.
         A deployment should re-validate its AP after quantizing
-        (tests validate logits closeness + integer-math exactness; the
-        smoke-e2e script validates synthetic AP on TPU).
+        (tests validate logits closeness + integer-math exactness;
+        scripts/smoke_e2e.py --int8 validates synthetic AP on TPU —
+        measured rows in BASELINE.md).
         """
         import jax as _jax
 
@@ -190,7 +196,19 @@ class Detector:
             self.params, self.config.model, scales
         )
         self._detect_fns.clear()
+        self._tta_quant_warned = False
         return scales
+
+    def dequantize(self) -> None:
+        """Drop back to the bf16/f32 detect path after quantize_int8().
+
+        Clears BOTH the qparams and the compiled detect fns — the cached
+        closures were compiled against the int8 pytree, so feeding them
+        the raw f32 params would crash (KeyError 'act').  As with
+        quantize_int8(), re-run warmup() afterwards if first-request
+        compile latency matters."""
+        self._quant = None
+        self._detect_fns.clear()
 
     @staticmethod
     def _check_image(image) -> np.ndarray:
@@ -312,6 +330,20 @@ class Detector:
             self._tta_runner = runner
         return runner
 
+    def _warn_tta_quant(self) -> None:
+        """One-time warning when a quantized detector runs the (bf16) TTA
+        path, so the int8/bf16 mode split never surprises a user."""
+        if self._quant is not None and not getattr(
+            self, "_tta_quant_warned", False
+        ):
+            import warnings
+
+            warnings.warn(
+                "Detector is int8-quantized but the TTA path always runs "
+                "bf16 (accuracy mode); detect()/detect_batch() remain int8."
+            )
+            self._tta_quant_warned = True
+
     def warmup_tta(
         self,
         sizes,
@@ -350,7 +382,14 @@ class Detector:
         reference's accuracy-mode eval path (config 4 [B]), same detection
         dict as detect().  The TTARunner (compiled per resolution bucket)
         is cached on the Detector, so repeated calls reuse executables;
-        for dataset-scale work use detect_tta_dataset / warmup_tta."""
+        for dataset-scale work use detect_tta_dataset / warmup_tta.
+
+        TTA always runs the bf16 graph: it is the accuracy-mode protocol,
+        and int8 would trade away exactly what TTA buys.  If the detector
+        has been quantized via quantize_int8(), a one-time warning makes
+        the mode mismatch explicit (detect()/detect_batch() are int8,
+        detect_tta* are not)."""
+        self._warn_tta_quant()
         runner = self._get_tta_runner()
         out = runner.detect_tta(self._check_image(image))
         if score_threshold is not None:
@@ -370,9 +409,11 @@ class Detector:
         dict}, batched per resolution bucket and (optionally) sharded over
         a mesh — the API-surface twin of the eval CLI's run_dataset path,
         with the same tta_batch/vote_batch knobs (None = TTARunner's
-        measured defaults, currently 16/128)."""
+        measured defaults, currently 16/128).  Like detect_tta, always
+        bf16 — warns once on a quantized detector."""
         from dan_tpu.eval.tta import TTARunner
 
+        self._warn_tta_quant()
         runner = self._get_tta_runner()
         return runner.run_dataset(
             ((k, self._check_image(im)) for k, im in items),

@@ -126,6 +126,12 @@ def vgg_forward(
     data_island: optional (Mesh, axis_name) under which the batch dim is
     sharded — routes the phase-pool backward's Pallas custom call through
     a shard_map island so multi-chip training keeps the kernel.
+
+    DRIFT TRIPWIRE: dan_tpu/quant.py::collect_act_absmax mirrors this
+    inference path by hand (calibration taps must match bit-for-bit —
+    pinned by tests/unit/test_quant.py::test_stats_forward_tap_parity).
+    Any change to the conv order, padding, packing, or tap points here
+    must be made there too.
     """
     # NOTE: round 2 also built two fused conv1 Pallas kernels (conv1_2+pool;
     # + in-kernel conv1_1); both were exact-parity on TPU but net LOSSES

@@ -28,9 +28,24 @@ def main():
     ap.add_argument("--out", default=None, help="write annotated image here")
     ap.add_argument("--score_threshold", type=float, default=0.5)
     ap.add_argument("--tta", action="store_true", help="full pyramid+flip TTA")
+    ap.add_argument(
+        "--int8",
+        action="store_true",
+        help="post-training-quantize the detect path to an int8 body "
+        "(deployment mode); calibrates on --calib_images if given, else "
+        "on the input image itself. Incompatible with --tta (bf16 policy)",
+    )
+    ap.add_argument(
+        "--calib_images",
+        nargs="*",
+        default=None,
+        help="with --int8: image paths to calibrate activation scales on",
+    )
     args = ap.parse_args()
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
+    if args.int8 and args.tta:
+        ap.error("--int8 requires the non-TTA path (TTA is bf16 accuracy mode)")
 
     from dan_tpu.api import Detector
     from dan_tpu.data.widerface import load_image_rgb
@@ -42,6 +57,15 @@ def main():
         det = Detector.from_random()
 
     img = load_image_rgb(args.image)
+    if args.int8:
+        calib = (
+            [load_image_rgb(p) for p in args.calib_images]
+            if args.calib_images
+            else [img]
+        )
+        det.quantize_int8(calib)
+        print(f"[int8] quantized (calibrated on {len(calib)} images)",
+              file=sys.stderr)
     if args.tta:
         out = det.detect_tta(img, score_threshold=args.score_threshold)
     else:

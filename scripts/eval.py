@@ -60,6 +60,20 @@ def main():
         "multiple). Default 128 from the r4 dataset-scale sweep: +17-34%% "
         "img/s vs 32 (fewer launch+fetch round trips on the tunnel)",
     )
+    ap.add_argument(
+        "--int8",
+        action="store_true",
+        help="post-training-quantize the detect path to an int8 body "
+        "(Detector.quantize_int8) before evaluating — deployment mode; "
+        "requires --no_tta (the TTA path is bf16 accuracy mode by policy)",
+    )
+    ap.add_argument(
+        "--calib",
+        type=int,
+        default=8,
+        help="with --int8: calibrate activation scales on the first N "
+        "eval images (absmax PTQ; 8-64 is typical)",
+    )
     ap.add_argument("--limit", type=int, default=None, help="eval first N images")
     ap.add_argument("--score_only", action="store_true", help="skip inference, read --pred_dir")
     ap.add_argument("--pred_dir", default=None)
@@ -84,6 +98,8 @@ def main():
     else:
         if not records:
             ap.error("--wider_root is required unless --score_only")
+        if args.int8 and not args.no_tta:
+            ap.error("--int8 requires --no_tta (TTA is bf16 accuracy mode)")
         if args.ckpt:
             det = Detector.from_checkpoint(args.ckpt)
         else:
@@ -91,6 +107,18 @@ def main():
             det = Detector.from_random()
         from dan_tpu.data.pipeline import iter_prefetch
 
+        if args.int8:
+            n_cal = max(1, min(args.calib, len(records)))
+            t_q = time.time()
+            det.quantize_int8(
+                [load_image_rgb(r.path) for r in records[:n_cal]],
+                batch_size=min(n_cal, 8),
+            )
+            print(
+                f"[int8] calibrated on {n_cal} images + quantized in "
+                f"{time.time() - t_q:.1f}s",
+                file=sys.stderr,
+            )
         t0 = time.time()
         if args.no_tta:
             # Decode the next images on a background thread while the

@@ -13,6 +13,12 @@ Usage:
 
 Exit 0 = safe to snapshot.  Anything else: fix before committing the
 round-end state.
+
+The int8 PTQ path is gated by BOTH tiers (VERDICT r4 item 1d): its unit
+coverage (tests/unit/test_quant.py — integer exactness, mirror tap
+parity, requant/max commutation, Detector surface) runs in tests-quick,
+and the end-to-end deployment mode (scripts/eval.py --int8 --no_tta)
+runs in tests-e2e via tests/e2e/test_eval_cli.py.
 """
 import argparse
 import json

@@ -50,6 +50,44 @@ class TestDemoCLI:
         annotated = cv2.imread(out)
         assert annotated is not None and annotated.shape[2] == 3
 
+    def test_demo_int8(self, tmp_path):
+        """--int8 quantizes (calibrating on the input image by default)
+        and the quantized detect graph drives the same demo output."""
+        import cv2
+
+        img = np.zeros((240, 320, 3), np.uint8)
+        img[60:140, 100:180] = 230
+        src = str(tmp_path / "face.jpg")
+        cv2.imwrite(src, img[:, :, ::-1])
+        r = _run(
+            [
+                "scripts/demo.py",
+                "--platform",
+                "cpu",
+                "--image",
+                src,
+                "--int8",
+                "--score_threshold",
+                "0.0",
+            ]
+        )
+        assert r.returncode == 0, r.stderr[-2000:]
+        assert "[int8] quantized" in r.stderr
+        assert "detections" in r.stdout
+
+    def test_demo_int8_tta_rejected(self, tmp_path):
+        import cv2
+
+        img = np.zeros((64, 64, 3), np.uint8)
+        src = str(tmp_path / "x.jpg")
+        cv2.imwrite(src, img)
+        r = _run(
+            ["scripts/demo.py", "--image", src, "--int8", "--tta",
+             "--platform", "cpu"]
+        )
+        assert r.returncode != 0
+        assert "non-TTA" in r.stderr
+
 
 class TestConvertCkptCLI:
     def test_tf_ckpt_roundtrips_through_cli(self, tmp_path):

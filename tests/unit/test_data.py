@@ -157,6 +157,51 @@ class TestPipeline:
         assert batch["mask"].sum() == 4  # one face per image
         assert (batch["crop_size"] > 0).all()
 
+    def test_multiproducer_bit_identical(self, tmp_path):
+        """num_producers must not change the yielded batch sequence: steps
+        are striped across producers but sample seeds are step-derived and
+        the shuffle is a (seed, epoch)-derived permutation, so K producers
+        emit exactly the single-producer stream (VERDICT r4 item 3 —
+        scaling the host feed must not perturb training)."""
+        import cv2
+
+        cfg = _tiny_config()
+        rng = np.random.default_rng(2)
+        records = []
+        for i in range(6):
+            img = rng.integers(0, 255, (90 + 7 * i, 110, 3), dtype=np.uint8)
+            p = str(tmp_path / f"mp{i}.jpg")
+            cv2.imwrite(p, img[:, :, ::-1])
+            records.append(
+                ImageRecord(
+                    path=p,
+                    rel_path=f"e/mp{i}.jpg",
+                    event="e",
+                    boxes=np.array([[8, 8, 50, 60]], np.float32),
+                    attrs=np.zeros((1, 6), np.float32),
+                )
+            )
+
+        def take(n_prod, n_batches=7):
+            # 7 batches of 4 over 6 records crosses epoch boundaries.
+            pipe = TrainPipeline(
+                records, cfg, batch_size=4, seed=5, num_workers=2,
+                num_producers=n_prod,
+            )
+            it = iter(pipe)
+            out = [next(it) for _ in range(n_batches)]
+            pipe.stop()
+            it.close()
+            return out
+
+        a, b = take(1), take(3)
+        for i, (ba, bb) in enumerate(zip(a, b)):
+            assert set(ba) == set(bb)
+            for k in ba:
+                np.testing.assert_array_equal(
+                    ba[k], bb[k], err_msg=f"batch {i} key {k}"
+                )
+
     def test_oversized_image_cropped_to_canvas(self, tmp_path):
         import cv2
 

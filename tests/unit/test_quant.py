@@ -72,6 +72,41 @@ def test_int8_conv_integer_exact(rng):
     np.testing.assert_array_equal(out, ref.astype(np.int32))
 
 
+def test_conv_cpu_twin_exact(rng):
+    """On the CPU backend _conv_i8 dispatches to the hi/lo 4-bit f32-split
+    twin (XLA:CPU integer convs are ~52x slower than f32 — BASELINE.md
+    r5).  Pin it bitwise against the raw s8-operand formulation at the
+    net's WORST-CASE reduction (fc6: R = 3*3*512 = 4608, the largest
+    f32-accumulation bound) with adversarial +/-127 values, dilation
+    included."""
+    assert jax.default_backend() == "cpu"
+    x = rng.integers(-127, 128, (1, 8, 8, 512)).astype(np.int8)
+    # bias toward extremes so sums approach the documented bound
+    x[0, :4] = 127
+    x[0, 4:, :, ::2] = -127
+    w = rng.integers(-127, 128, (3, 3, 512, 8)).astype(np.int8)
+    w[:, :, ::3] = 127
+    w[:, :, 1::3] = -127
+    from dan_tpu.quant import _DN
+
+    def s8_formulation(xq, kq, dilation):
+        return jax.lax.conv_general_dilated(
+            xq,
+            kq,
+            window_strides=(1, 1),
+            padding="SAME",
+            rhs_dilation=(dilation, dilation),
+            dimension_numbers=_DN,
+            preferred_element_type=jnp.int32,
+        )
+
+    for dil in (1, 3):
+        twin = _conv_i8(jnp.asarray(x), jnp.asarray(w), dilation=dil)
+        ref = s8_formulation(jnp.asarray(x), jnp.asarray(w), dil)
+        assert twin.dtype == jnp.int32
+        np.testing.assert_array_equal(np.asarray(twin), np.asarray(ref))
+
+
 def test_pool_quantize_commute(rng):
     """pool(quant(y)) == quant(pool(y)): requant is monotone, so pooling
     runs on int8 without any accuracy change."""
@@ -83,6 +118,39 @@ def test_pool_quantize_commute(rng):
 
     b = _quantize_act(max_pool(y), s)
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_phase_requant_max_commute(params, images, rng):
+    """The packed conv1 epilogue requantizes to s8 INSIDE the conv fusion
+    and phase-maxes on int8 (the b128 HBM-OOM fix).  Exactness needs the
+    REQUANT side (bias + next-layer act scale) shared across the four
+    phase blocks — the dequant vector may differ per phase (it does,
+    with per-channel act folding) because it only produces each phase's
+    correct f32 value BEFORE the shared monotone requant.  Checked
+    bitwise against the dequant-then-max f32 oracle on the real conv1
+    pieces."""
+    from dan_tpu.models.vgg import _phase_slices
+    from dan_tpu.quant import calibrate_act_scales
+
+    scales = calibrate_act_scales(params, [images], MCFG)
+    q = quantize_detector_params(params, MCFG, scales)
+    c1 = q["conv1"]
+    co = c1["b2"].shape[0]
+    s_next = jnp.asarray(scales["conv2_1"], jnp.float32)
+    assert s_next.shape == (co,)
+    acc = jnp.asarray(
+        rng.integers(-(2**20), 2**20, (2, 9, 9, 4 * co)), jnp.int32
+    )
+    # the forward's formulation: per-phase epilogue, quantize, int8 max
+    z = acc.astype(jnp.float32) * c1["k2_deq"] + jnp.tile(c1["b2"], 4)
+    q_all = _quantize_act(jax.nn.relu(z), jnp.tile(s_next, 4))
+    s8 = _phase_slices(q_all, co)
+    ours = jnp.maximum(jnp.maximum(s8[0], s8[1]), jnp.maximum(s8[2], s8[3]))
+    # oracle: dequant -> phase max -> bias+relu -> quantize (f32 path)
+    r = _phase_slices(acc.astype(jnp.float32) * c1["k2_deq"], co)
+    m = jnp.maximum(jnp.maximum(r[0], r[1]), jnp.maximum(r[2], r[3]))
+    ref = _quantize_act(jax.nn.relu(m + c1["b2"]), s_next)
+    np.testing.assert_array_equal(np.asarray(ours), np.asarray(ref))
 
 
 def test_stats_forward_tap_parity(params, images):
@@ -99,12 +167,18 @@ def test_stats_forward_tap_parity(params, images):
             err_msg=name,
         )
     assert set(stats) == set(act_scale_names(MCFG))
-    assert all(float(v) >= 0 for v in stats.values())
+    for k, v in stats.items():
+        assert v.ndim == 1 and bool(jnp.all(v >= 0)), k
 
 
 def test_calibrate_and_quantize_shapes(params, images):
     scales = calibrate_act_scales(params, [images], MCFG)
     assert set(scales) == set(act_scale_names(MCFG))
+    # per-channel: each scale is a (C,) vector sized to the consumed tensor
+    assert scales["conv1_2"].shape == (256,)  # o1 = 4 phases x 64
+    assert scales["conv2_1"].shape == (64,)
+    assert scales["fc7"].shape == (1024,)
+    assert all(v.ndim == 1 and (v > 0).all() for v in scales.values())
     q = quantize_detector_params(params, MCFG, scales)
     assert q["conv1"]["k2q"].dtype == jnp.int8
     for name, *_ in body_plan(MCFG):
@@ -198,3 +272,42 @@ def test_detector_api_quantize(params):
     # batch path runs on the quantized graph too
     outs = det.detect_batch(imgs[:2])
     assert len(outs) == 2
+
+
+def test_detector_dequantize_and_tta_warning(params):
+    """dequantize() must clear BOTH _quant and the compiled int8 closures
+    (feeding f32 params into them crashes — the ADVICE r4 repro), and the
+    bf16-only TTA path must warn exactly once on a quantized detector."""
+    import dataclasses
+    import warnings
+
+    from dan_tpu.api import Detector
+    from dan_tpu.config import default_config
+
+    cfg = dataclasses.replace(default_config(), model=MCFG)
+    det = Detector(params, cfg)
+    rng = np.random.default_rng(4)
+    img = rng.integers(0, 255, (48, 60, 3), np.uint8)
+    det.quantize_int8([img], batch_size=1)
+    det.detect(img)  # compiles an int8 closure into the cache
+
+    # TTA warns once (stub runner: the warning is about the mode split,
+    # not the TTA math, and compiling real TTA graphs here is minutes).
+    class _Stub:
+        def detect_tta(self, image):
+            return {
+                "bboxes": np.zeros((1, 4), np.float32),
+                "scores": np.ones((1,), np.float32),
+            }
+
+    det._tta_runner = _Stub()
+    with pytest.warns(UserWarning, match="bf16"):
+        det.detect_tta(img)
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        det.detect_tta(img)  # one-time: must not warn again
+
+    det.dequantize()
+    assert det._quant is None and det._detect_fns == {}
+    out = det.detect(img)  # would KeyError 'act' if closures survived
+    assert np.all(np.isfinite(out["bboxes"]))
