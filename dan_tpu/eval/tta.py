@@ -209,6 +209,11 @@ class TTARunner:
         self.pixel_budget = pixel_budget
         self._bucket_fns: Dict[int, callable] = {}
         self._vote_fns: Dict[Optional[int], callable] = {}
+        # Filled by run_dataset: {'images', 'variants', 'bucket_launches',
+        # 'vote_launches'} — the launch-count arithmetic the r3/r4 batching
+        # rows reason about, made observable at dataset scale (VERDICT r4
+        # item 5 asks the full-val soak to record it).
+        self.last_run_stats: Dict[str, int] = {}
 
     # -- compiled stages -----------------------------------------------------
 
@@ -585,6 +590,7 @@ class TTARunner:
         per_key: Dict[str, list] = {}
         pending: list = []  # (part, boxes_dev, scores_dev, valid_dev)
         n_images = 0
+        n_variants = 0
 
         def flush(group_key):
             bucket, canvas_size = group_key
@@ -641,6 +647,7 @@ class TTARunner:
             canvas[:h, :w] = image
             canvas_dev = jax.device_put(canvas)  # async; one H2D per image
             for v, bucket, _ in plan:
+                n_variants += 1
                 gk = (bucket, canvas_size)
                 groups.setdefault(gk, []).append((key, v, h, w, canvas_dev))
                 if len(groups[gk]) >= self.bucket_chunk(
@@ -701,4 +708,13 @@ class TTARunner:
             for i, k in enumerate(ks):
                 keep = vv[i]
                 results[k] = {"bboxes": vb[i][keep], "scores": vs[i][keep]}
+        # `pending` accumulates one entry per bucket launch and
+        # `vote_pending` one per vote launch — exactly the dispatch counts
+        # the tta_batch/vote_batch sweeps trade against.
+        self.last_run_stats = {
+            "images": n_images,
+            "variants": n_variants,
+            "bucket_launches": len(pending),
+            "vote_launches": len(vote_pending),
+        }
         return results

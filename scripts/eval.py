@@ -208,6 +208,21 @@ def main():
                 f"tta_batch={args.tta_batch}, vote_batch={args.vote_batch})",
                 file=sys.stderr,
             )
+            stats = dict(runner.last_run_stats)
+            import resource
+
+            stats["peak_host_rss_mb"] = round(
+                resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024
+            )
+            try:  # device memory_stats is backend-optional (None on some)
+                ms = jax.local_devices()[0].memory_stats() or {}
+                if "peak_bytes_in_use" in ms:
+                    stats["peak_device_mb"] = round(
+                        ms["peak_bytes_in_use"] / 1e6
+                    )
+            except Exception:
+                pass
+            print(f"[tta] stats: {stats}", file=sys.stderr)
             predictions = {
                 k: np.concatenate([v["bboxes"], v["scores"][:, None]], -1)
                 for k, v in results.items()

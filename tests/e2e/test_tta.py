@@ -99,6 +99,7 @@ class TestTTA:
 
     def test_run_dataset_matches_per_image(self, runner, rng):
         """Sharded dataset runner == serial per-image TTA (config 5)."""
+        from dan_tpu.eval.tta import plan_variant_buckets
         from dan_tpu.parallel.mesh import make_mesh
 
         images = {
@@ -108,6 +109,14 @@ class TestTTA:
         mesh = make_mesh()
         got = runner.run_dataset(list(images.items()), mesh=mesh)
         assert set(got) == set(images)
+        stats = runner.last_run_stats
+        assert stats["images"] == len(images)
+        assert stats["variants"] == sum(
+            len(list(plan_variant_buckets(*img.shape[:2], runner.config)))
+            for img in images.values()
+        )
+        assert stats["bucket_launches"] >= 1
+        assert stats["vote_launches"] >= 1
         for k, img in images.items():
             want = runner.detect_tta(img)
             np.testing.assert_allclose(
