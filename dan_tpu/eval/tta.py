@@ -561,6 +561,7 @@ class TTARunner:
         batch_per_device: int = DEFAULT_TTA_BATCH,
         progress_every: int = 0,
         vote_batch: int = DEFAULT_VOTE_BATCH,
+        max_pending: int = 32,
     ) -> Dict[str, Dict[str, np.ndarray]]:
         """Full-dataset TTA, (image, variant) units sharded across chips.
 
@@ -570,6 +571,10 @@ class TTARunner:
           batch_per_device: variants per chip per launch.
           vote_batch: images per batched vote launch (padded up to a
             multiple of the device count under a mesh).
+          max_pending: bucket launches kept un-fetched before the oldest is
+            drained — the host/HBM memory vs dispatch-depth trade (32 keeps
+            the device queue ~500 variants deep while bounding host RSS;
+            see the r5 soak rows in BASELINE.md).
         Returns {key: {'bboxes': (N, 4), 'scores': (N,)}}.
 
         TPU mapping of the reference's serial 3226-image x ~7-sess.run eval
@@ -591,6 +596,28 @@ class TTARunner:
         pending: list = []  # (part, boxes_dev, scores_dev, valid_dev)
         n_images = 0
         n_variants = 0
+        n_bucket_launches = 0
+
+        def drain_oldest():
+            # Fetch the OLDEST queued launch (FIFO device queue: it has
+            # long since executed once max_pending launches sit ahead of
+            # it, so this costs one ~30-60 ms tunnel roundtrip, overlapped
+            # with the decode prefetch thread).  Draining incrementally —
+            # instead of deferring every fetch to the end — is what bounds
+            # host memory: the r5 full-val soak measured ~5-6 MB/image of
+            # LINEAR host-RSS growth (23.1 GB peak over 3,226 images) with
+            # the defer-everything design, because the client releases the
+            # host-side shadows of device_put canvases only as the queue
+            # drains; it also spreads the ~50 ms/launch fetch cost that a
+            # single end-of-run loop paid serially (BASELINE.md r5 soak
+            # rows).
+            part, boxes, scores, valid = pending.pop(0)
+            boxes = np.asarray(boxes)
+            scores = np.asarray(scores)
+            valid = np.asarray(valid)
+            for i, (key, v) in enumerate(part):
+                gate = variant_gate(boxes[i], v, self.config.tta.gate_measure)
+                per_key[key].append((boxes[i], scores[i], valid[i] & gate))
 
         def flush(group_key):
             bucket, canvas_size = group_key
@@ -622,16 +649,20 @@ class TTARunner:
                     jnp.asarray(scales),
                     jnp.asarray(flips),
                 )
-                # Defer the D2H fetch: keep device refs so launches queue
-                # back-to-back (each fetch is a blocking ~30-60 ms tunnel
-                # roundtrip; results are ~50 KB/launch, so holding them on
-                # device until the end is free).  Keep only (key, variant)
-                # per unit — retaining the full unit tuples would pin every
-                # image's device-resident canvas in HBM for the whole run
-                # (~16 GB over WIDER val).
+                # Defer the D2H fetch a BOUNDED distance: keep device refs
+                # so launches queue back-to-back (results are ~250 KB per
+                # launch, cheap to hold on device), but drain the oldest
+                # once max_pending launches are queued — see drain_oldest.
+                # Keep only (key, variant) per unit — retaining the full
+                # unit tuples would pin every image's device-resident
+                # canvas in HBM for the whole run (~16 GB over WIDER val).
+                nonlocal n_bucket_launches
+                n_bucket_launches += 1
                 pending.append(
                     ([(u[0], u[1]) for u in part], boxes, scores, valid)
                 )
+                while len(pending) > max_pending:
+                    drain_oldest()
 
         for key, image in items:
             image = np.asarray(image)
@@ -656,20 +687,20 @@ class TTARunner:
                     flush(gk)
             n_images += 1
             if progress_every and n_images % progress_every == 0:
+                import resource
                 import sys
 
-                print(f"[tta] {n_images} images planned", file=sys.stderr)
+                rss = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss // 1024
+                print(
+                    f"[tta] {n_images} images planned (peak rss {rss} MB)",
+                    file=sys.stderr,
+                )
 
         for gk in list(groups):
             flush(gk)
 
-        for part, boxes, scores, valid in pending:
-            boxes = np.asarray(boxes)
-            scores = np.asarray(scores)
-            valid = np.asarray(valid)
-            for i, (key, v) in enumerate(part):
-                gate = variant_gate(boxes[i], v, self.config.tta.gate_measure)
-                per_key[key].append((boxes[i], scores[i], valid[i] & gate))
+        while pending:
+            drain_oldest()
 
         # Per-image fusion: BATCHED device bbox-vote.  The round-2 tail ran
         # one jit call + blocking fetches PER IMAGE (3,226 serial ~100 ms
@@ -708,13 +739,12 @@ class TTARunner:
             for i, k in enumerate(ks):
                 keep = vv[i]
                 results[k] = {"bboxes": vb[i][keep], "scores": vs[i][keep]}
-        # `pending` accumulates one entry per bucket launch and
-        # `vote_pending` one per vote launch — exactly the dispatch counts
+        # One count per bucket/vote launch — exactly the dispatch counts
         # the tta_batch/vote_batch sweeps trade against.
         self.last_run_stats = {
             "images": n_images,
             "variants": n_variants,
-            "bucket_launches": len(pending),
+            "bucket_launches": n_bucket_launches,
             "vote_launches": len(vote_pending),
         }
         return results

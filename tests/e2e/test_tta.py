@@ -125,6 +125,16 @@ class TestTTA:
             np.testing.assert_allclose(
                 got[k]["scores"], want["scores"], rtol=1e-6
             )
+        # max_pending=1 forces the incremental drain DURING planning (the
+        # default 32 never drains mid-run at fixture scale) — results and
+        # launch counts must be identical to the defer-to-the-end path.
+        tight = runner.run_dataset(
+            list(images.items()), mesh=mesh, max_pending=1
+        )
+        assert runner.last_run_stats == stats
+        for k in images:
+            np.testing.assert_array_equal(tight[k]["bboxes"], got[k]["bboxes"])
+            np.testing.assert_array_equal(tight[k]["scores"], got[k]["scores"])
 
     def test_oversized_image_no_crash(self, runner, rng):
         """Images larger than the biggest bucket must round the canvas up
