@@ -404,13 +404,15 @@ class Detector:
         tta_batch: Optional[int] = None,
         vote_batch: Optional[int] = None,
         progress_every: int = 0,
+        max_pending: int = 32,
     ) -> Dict[str, Dict[str, np.ndarray]]:
         """Dataset-scale TTA: iterable of (key, image) -> {key: detection
         dict}, batched per resolution bucket and (optionally) sharded over
         a mesh — the API-surface twin of the eval CLI's run_dataset path,
-        with the same tta_batch/vote_batch knobs (None = TTARunner's
-        measured defaults, currently 16/128).  Like detect_tta, always
-        bf16 — warns once on a quantized detector."""
+        with the same tta_batch/vote_batch/max_pending knobs (None =
+        TTARunner's measured defaults, currently 16/128; max_pending
+        bounds un-fetched launches, see run_dataset).  Like detect_tta,
+        always bf16 — warns once on a quantized detector."""
         from dan_tpu.eval.tta import TTARunner
 
         self._warn_tta_quant()
@@ -427,6 +429,7 @@ class Detector:
                 vote_batch if vote_batch is not None
                 else TTARunner.DEFAULT_VOTE_BATCH
             ),
+            max_pending=max_pending,
         )
 
 
