@@ -61,6 +61,14 @@ def main():
         "img/s vs 32 (fewer launch+fetch round trips on the tunnel)",
     )
     ap.add_argument(
+        "--max_pending",
+        type=int,
+        default=32,
+        help="TTA bucket launches kept un-fetched before the oldest is "
+        "drained (TTARunner.run_dataset max_pending) — bounds host RSS "
+        "and pending-output HBM at dataset scale (BASELINE.md r5 soak)",
+    )
+    ap.add_argument(
         "--int8",
         action="store_true",
         help="post-training-quantize the detect path to an int8 body "
@@ -200,6 +208,7 @@ def main():
                 batch_per_device=args.tta_batch,
                 progress_every=50,
                 vote_batch=args.vote_batch,
+                max_pending=args.max_pending,
             )
             dt = time.time() - t_run
             print(
